@@ -1,0 +1,119 @@
+"""Standalone model driver.
+
+TPU-native equivalent of the reference standalone program
+(reference: /root/reference/drivers/nocoupler/blom.F:20-67): build a
+configuration, initialize, and integrate the step loop under jit/scan."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import eos, init, modeltime
+from ..core.grid import Grid
+from ..core.state import State
+from ..dynamics import cppm as cppm_mod
+from ..dynamics.barotp import BarotpParams
+from ..dynamics.diffusion_fields import zero_diffusion_fields
+from ..dynamics.momtum import MomtumParams
+from ..dynamics.step import StepParams, blom_step, make_two_step
+from ..phys.forcing import zero_forcing
+
+
+@dataclasses.dataclass
+class Model:
+    grid: Grid
+    e: eos.EosParams
+    par: StepParams
+    coeffs_i: cppm_mod.CppmCoeffs
+    coeffs_j: cppm_mod.CppmCoeffs
+    clock: modeltime.ModelTime
+    state: State
+    forcing: object
+    dfl: object
+
+
+def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None) -> Model:
+    """Assemble the fuk95 experiment (tests/fuk95/limits deck values)."""
+    from ..configs import fuk95 as cfg
+
+    itdm = itdm or cfg.ITDM
+    jtdm = jtdm or cfg.JTDM
+    kdm = kdm or cfg.KDM
+
+    baclin, batrop = 180., 6.
+    clock = modeltime.init_timevars('fuk95', baclin, batrop,
+                                    20000101, 20000101)
+    grid = cfg.make_grid(baclin, itdm, jtdm, kdm, dtype=dtype)
+    e = eos.init_eos(pref=0., expcnf='fuk95')
+
+    z, sigma, saln, sigmar, phi = cfg.initial_profiles(itdm, jtdm, kdm)
+    temp = np.asarray(eos.tofsig(e, sigma, saln))
+
+    state = init.init_state(
+        grid, e, phi=phi, temp=temp, saln=saln, sigmar=sigmar,
+        delt1=baclin, dlt=clock.dlt, dtype=dtype)
+
+    par = StepParams(
+        baclin=baclin, lstep=clock.lstep, dlt=clock.dlt,
+        momtum=MomtumParams(vsc2hi=.2, vsc2lo=.2, cbar=.05, cb=.002,
+                            mommth='enscon'),
+        barotp=BarotpParams(cwbdts=0., cwbdls=25., mommth='enscon'),
+        pgfmth='dynamic enthalpy', vcoord_isopyc=False)
+
+    coeffs_i = cppm_mod.init_cppm_coeffs(
+        np.asarray(grid.ip), np.asarray(grid.scpx), axis=-1,
+        periodic=grid.periodic_i, dtype=dtype)
+    coeffs_j = cppm_mod.init_cppm_coeffs(
+        np.asarray(grid.ip), np.asarray(grid.scpy), axis=-2,
+        periodic=grid.periodic_j, dtype=dtype)
+
+    forcing = zero_forcing(kdm, grid.shape, dtype)
+    dfl = zero_diffusion_fields(kdm, grid.shape, dtype)
+
+    return Model(grid=grid, e=e, par=par, coeffs_i=coeffs_i,
+                 coeffs_j=coeffs_j, clock=clock, state=state,
+                 forcing=forcing, dfl=dfl)
+
+
+def run(model: Model, nsteps: int) -> Tuple[State, modeltime.ModelTime]:
+    """Integrate `nsteps` baroclinic steps from the current clock.
+
+    The first step from initial conditions is forward (delt1 = baclin);
+    later steps leap-frog (delt1 = 2*baclin) — mod_time.F90:49-55."""
+    s = model.state
+    clock = model.clock
+
+    two_step = make_two_step(model.grid, model.e, model.par,
+                             model.coeffs_i, model.coeffs_j,
+                             model.forcing, model.dfl)
+
+    @jax.jit
+    def run_pairs(s, delt1_pairs):
+        return jax.lax.scan(two_step, s, delt1_pairs)
+
+    # build the delt1 schedule
+    delt1s = []
+    c = clock
+    for _ in range(nsteps):
+        delt1s.append(c.delt1)
+        c = c.step()
+    n_even = (nsteps // 2) * 2
+
+    if n_even:
+        pairs = (jnp.asarray(delt1s[0:n_even:2]),
+                 jnp.asarray(delt1s[1:n_even:2]))
+        s, _ = run_pairs(s, pairs)
+    if nsteps % 2:
+        # odd tail: single step at the pair's first parity
+        m = n_even % 2  # == 0
+        s = jax.jit(
+            lambda s, d: blom_step(model.grid, model.e, model.par,
+                                   model.coeffs_i, model.coeffs_j,
+                                   s, model.forcing, model.dfl, 0, 1, d)
+        )(s, jnp.asarray(delt1s[-1], s.pb.dtype))
+    return s, c

@@ -1,0 +1,113 @@
+"""Layer thickness and tracer advection driver.
+
+TPU-native re-design of the advection dispatch
+(reference: /root/reference/phy/mod_advect.F90:59-189 advect).  Computes
+CFL-clamped flux areas cau/cav from mid-level baroclinic velocity,
+predicted barotropic transport and eddy/submesoscale transports
+(mod_advect.F90:71-94), then runs the CPPM Strang-split sweeps
+(advmth='cppm'; the incremental-remap path is a later round)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..core.constants import onemm, epsilpl
+from ..core.grid import Grid
+from ..core.state import State, cumulative_p
+from .cppm import CppmCoeffs, cppm_sweep, dpeps
+from .diffusion_fields import DiffusionFields
+
+
+def advect(grid: Grid, s: State, dfl: DiffusionFields,
+           coeffs_i: CppmCoeffs, coeffs_j: CppmCoeffs,
+           m: int, n: int, delt1, dlt) -> State:
+    iu, iv, ip = grid.iu, grid.iv, grid.ip
+
+    # ---- flux areas (mod_advect.F90:71-94)
+    dtdl_u = delt1 * grid.scuy
+    ca_u = (s.u[m] * dtdl_u
+            + s.ubflxs_p[m] * dlt / jnp.maximum(s.pbu[m], epsilpl)
+            + (dfl.umfltd[m] + dfl.umflsm[m])
+            / jnp.maximum(onemm, s.dpu[n]))
+    cau = jnp.clip(ca_u, -grid.umax * dtdl_u, grid.umax * dtdl_u) * iu
+
+    dtdl_v = delt1 * grid.scvx
+    ca_v = (s.v[m] * dtdl_v
+            + s.vbflxs_p[m] * dlt / jnp.maximum(s.pbv[m], epsilpl)
+            + (dfl.vmfltd[m] + dfl.vmflsm[m])
+            / jnp.maximum(onemm, s.dpv[n]))
+    cav = jnp.clip(ca_v, -grid.vmax * dtdl_v, grid.vmax * dtdl_v) * iv
+
+    s = dataclasses.replace(s, cau=cau, cav=cav)
+
+    # ---- CPPM Strang-split sweeps (mod_cppm.F90:2748-2834): i first on
+    # odd steps; with m = (nstep+1) % 2, odd nstep <=> m == 0.
+    i_first = (m == 0)
+
+    # interface pressures of the pre-advection state (used by
+    # flux_integration's bottom-limited reconstruction)
+    p = cumulative_p(s.dp[n]) * ip
+
+    tm = jnp.stack([s.temp[n], s.saln[n]], axis=0)
+    h = s.dp[n]
+
+    uflx_acc = jnp.zeros_like(h)
+    vflx_acc = jnp.zeros_like(h)
+    utflx_acc = jnp.zeros_like(h)
+    usflx_acc = jnp.zeros_like(h)
+    vtflx_acc = jnp.zeros_like(h)
+    vsflx_acc = jnp.zeros_like(h)
+
+    def sweep_i(h, tm, second):
+        div = None
+        if second:
+            div = (grid.jp1(cav) - cav)
+        hn, tmn, hf, htf = cppm_sweep(
+            h, tm, cau, s.pbu[n], p[:-1], p[1:], grid.scp2i,
+            coeffs_i, grid.periodic_i, div_corr=div)
+        return hn, tmn, hf, htf
+
+    def sweep_j(h, tm, second):
+        # run the same 1-D kernel with i<->j swapped (mod_cppm.F90's
+        # *_j kernels operate on permuted (j, i) arrays, :2731-2744)
+        def T(a):
+            return jnp.swapaxes(a, -1, -2)
+        div = None
+        if second:
+            div = T(grid.ip1(cau) - cau)
+        hn, tmn, hf, htf = cppm_sweep(
+            T(h), T(tm), T(cav), T(s.pbv[n]), T(p[:-1]), T(p[1:]),
+            T(grid.scp2i), coeffs_j, grid.periodic_j, div_corr=div)
+        return T(hn), T(tmn), T(hf), T(htf)
+
+    if i_first:
+        h1, tm1, hfu, htfu = sweep_i(h, tm, False)
+        h1 = jnp.maximum(0., h1 - dpeps) * ip
+        h2, tm2, hfv, htfv = sweep_j(h1, tm1, True)
+        h2 = jnp.maximum(0., h2 - dpeps) * ip
+    else:
+        h1, tm1, hfv, htfv = sweep_j(h, tm, False)
+        h1 = jnp.maximum(0., h1 - dpeps) * ip
+        h2, tm2, hfu, htfu = sweep_i(h1, tm1, True)
+        h2 = jnp.maximum(0., h2 - dpeps) * ip
+
+    uflx_acc = uflx_acc + hfu
+    utflx_acc = utflx_acc + htfu[0]
+    usflx_acc = usflx_acc + htfu[1]
+    vflx_acc = vflx_acc + hfv
+    vtflx_acc = vtflx_acc + htfv[0]
+    vsflx_acc = vsflx_acc + htfv[1]
+
+    return dataclasses.replace(
+        s,
+        dp=s.dp.at[n].set(h2),
+        temp=s.temp.at[n].set(tm2[0] * ip),
+        saln=s.saln.at[n].set(tm2[1] * ip),
+        uflx=s.uflx.at[m].add(uflx_acc * iu),
+        vflx=s.vflx.at[m].add(vflx_acc * iv),
+        utflx=s.utflx.at[m].add(utflx_acc * iu),
+        usflx=s.usflx.at[m].add(usflx_acc * iu),
+        vtflx=s.vtflx.at[m].add(vtflx_acc * iv),
+        vsflx=s.vsflx.at[m].add(vsflx_acc * iv))

@@ -1,0 +1,39 @@
+"""Lateral diffusion / eddy-transport parameter fields.
+
+TPU-native equivalent of the reference diffusion storage
+(reference: /root/reference/phy/mod_diffusion.F90 declares eddy
+diffusivities difint/difiso/difdia, the Rossby-radius resolution weight
+difwgt, GM bolus mass fluxes umfltd/vmfltd and submesoscale transports
+umflsm/vmflsm).  Filled by difest/eddtra each step; zero-initialized,
+which reproduces the fuk95 deck (EGC=0 -> zero interior diffusivity,
+tests/fuk95/limits:316)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DiffusionFields:
+    difint: jax.Array   # (K, H) layer interface diffusivity [m2 s-1]
+    difiso: jax.Array   # (K, H) isopycnal diffusivity [m2 s-1]
+    difdia: jax.Array   # (K, H) diapycnal diffusivity [m2 s-1]
+    difwgt: jax.Array   # (H) Rossby-radius resolution weight []
+    umfltd: jax.Array   # (2, K, H) GM eddy-induced mass flux [kg m s-2]
+    vmfltd: jax.Array
+    umflsm: jax.Array   # (2, K, H) submesoscale mass flux [kg m s-2]
+    vmflsm: jax.Array
+
+
+def zero_diffusion_fields(kk: int, shape, dtype=jnp.float64):
+    H = tuple(shape)
+    zk = jnp.zeros((kk,) + H, dtype)
+    z2k = jnp.zeros((2, kk) + H, dtype)
+    return DiffusionFields(
+        difint=zk, difiso=zk, difdia=zk,
+        difwgt=jnp.ones(H, dtype),
+        umfltd=z2k, vmfltd=z2k, umflsm=z2k, vmflsm=z2k)
