@@ -58,12 +58,14 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None) -> Model:
         grid, e, phi=phi, temp=temp, saln=saln, sigmar=sigmar,
         delt1=baclin, dlt=clock.dlt, dtype=dtype)
 
+    from ..dynamics.ale import make_ale_params
     par = StepParams(
         baclin=baclin, lstep=clock.lstep, dlt=clock.dlt,
         momtum=MomtumParams(vsc2hi=.2, vsc2lo=.2, cbar=.05, cb=.002,
                             mommth='enscon'),
         barotp=BarotpParams(cwbdts=0., cwbdls=25., mommth='enscon'),
-        pgfmth='dynamic enthalpy', vcoord_isopyc=False)
+        pgfmth='dynamic enthalpy', vcoord_isopyc=False,
+        ale=make_ale_params(kdm))
 
     coeffs_i = cppm_mod.init_cppm_coeffs(
         np.asarray(grid.ip), np.asarray(grid.scpx), axis=-1,

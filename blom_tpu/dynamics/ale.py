@@ -1,0 +1,336 @@
+"""ALE vertical regridding and remapping.
+
+TPU-native re-design of the reference ALE machinery
+(reference: /root/reference/phy/mod_ale_regrid_remap.F90:1486-1984
+ale_regrid_remap).  Per step, for the cntiso_hybrid vertical coordinate:
+
+1. reconstruct T/S profiles (PPM, reconstruct_trc_jslice, :186-261);
+2. regrid: nudge interface pressures toward the interface reference
+   potential densities while keeping minimum near-surface thicknesses
+   (regrid_cntiso_hybrid_nudge_jslice, :560-916);
+3. laterally smooth weakly-stratified interfaces
+   (regrid_smooth_jslice, :946-1020);
+4. remap tracers onto the new grid (remap_trc_jslice, :1022-1057);
+5. recompute dpu/dpv and remap velocities (:1760-1960).
+
+All column loops are dense over (k, j, i).  Simplifications this round,
+to be tightened later: the reference's quadratic-Bezier transition-zone
+adjustment of target densities (:670-740) and the dpvar_fac local
+thickness-variation limiter (:845-912) are replaced by the monotonic
+minimum-thickness clamp; regrid_method='direct' and the plevel vertical
+coordinate are pending.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import eos
+from ..core.constants import epsilp, onem
+from ..core.grid import Grid
+from ..core.state import State, cumulative_p, dpu_dpv_upstream
+from ..ops import hor3map as h3
+
+
+class AleParams(NamedTuple):
+    plevel: tuple            # (kk,) minimum interface depths [Pa]
+    dpmin_interior: float    # [Pa]
+    regrid_nudge_ts: float   # [s]
+    stab_fac_limit: float
+    smooth_diff_max: float   # [m2 s-1]
+    k_range_plevel: int
+    tracer_limiting: str = h3.NON_OSCILLATORY
+    velocity_limiting: str = h3.NON_OSCILLATORY
+    tracer_pc_upper: bool = True
+    velocity_pc_upper: bool = True
+
+
+def make_ale_params(kk: int, dpmin_surface_m: float = 1.5,
+                    dpmin_inflation: float = 1.0,
+                    dpmin_interior_m: float = .1,
+                    regrid_nudge_ts: float = 86400.,
+                    stab_fac_limit: float = .75,
+                    smooth_diff_max: float = 50000.,
+                    k_range_plevel: int = 4) -> AleParams:
+    """Defaults matching the fuk95 deck (tests/fuk95/limits:231-249) and
+    vcoord defaults (mod_vcoord.F90:87-88, plevel 'inflation' spec
+    :948-955: plevel(1)=0, plevel(k+1)=plevel(k)+dpmin, dpmin*=factor)."""
+    plevel = [0.0]
+    dpmin = dpmin_surface_m * onem
+    for _ in range(kk - 1):
+        plevel.append(plevel[-1] + dpmin)
+        dpmin *= dpmin_inflation
+    return AleParams(plevel=tuple(plevel),
+                     dpmin_interior=dpmin_interior_m * onem,
+                     regrid_nudge_ts=regrid_nudge_ts,
+                     stab_fac_limit=stab_fac_limit,
+                     smooth_diff_max=smooth_diff_max,
+                     k_range_plevel=k_range_plevel)
+
+
+def _sigma_at(p_src, sig_up, sig_lo, pq):
+    """Linear-in-layer interface density at pressure pq (mask-sum over
+    containing layers; regrid nudge's sig_pmin interpolation,
+    mod_ale_regrid_remap.F90:643-651)."""
+    dp = p_src[1:] - p_src[:-1]
+    dpi = 1.0 / jnp.maximum(dp, epsilp)
+    inl = (pq[:, None] >= p_src[None, :-1]) & (pq[:, None] < p_src[None, 1:])
+    w = jnp.clip((pq[:, None] - p_src[None, :-1]) * dpi[None], 0., 1.)
+    val = (1. - w) * sig_up[None] + w * sig_lo[None]
+    first = jnp.cumsum(inl.astype(jnp.int32), axis=1) == 1
+    got = jnp.sum(jnp.where(first & inl, val, 0.), axis=1)
+    has = jnp.any(first & inl, axis=1)
+    # below the column: use the deepest lower-interface value
+    return jnp.where(has, got, sig_lo[-1])
+
+
+def regrid_nudge(grid: Grid, e: eos.EosParams, ale: AleParams,
+                 p_src, rc_t: h3.Recon, rc_s: h3.Recon, sigmar,
+                 delt1):
+    """Nudge interface pressures toward interface target densities
+    (regrid_cntiso_hybrid_nudge_jslice, mod_ale_regrid_remap.F90:560-916).
+
+    Returns (p_dst, smooth_fac), both (kk+1, H)."""
+    kk = grid.kk
+    H = p_src.shape[1:]
+    p_bot = p_src[kk]
+
+    t_up, t_lo = rc_t.eval0(), rc_t.eval1()
+    s_up, s_lo = rc_s.eval0(), rc_s.eval1()
+    sig_up = eos.sig(e, t_up, s_up)      # (kk, H)
+    sig_lo = eos.sig(e, t_lo, s_lo)
+
+    dp_src = p_src[1:] - p_src[:-1]
+    wet_layer = dp_src > epsilp
+    sig_max = jnp.max(jnp.where(wet_layer, sig_lo, -jnp.inf), axis=0)
+    sig_max = jnp.where(jnp.isfinite(sig_max), sig_max, 0.)
+
+    sig_trg = sigmar                                    # (kk, H)
+    dsig_trg = jnp.concatenate(
+        [sig_trg[1:] - sig_trg[:-1], sig_trg[-1:] - sig_trg[-2:-1]], axis=0)
+    dsig_trg = jnp.maximum(dsig_trg, 1e-12)
+
+    kidx = jnp.arange(kk).reshape((kk,) + (1,) * len(H))
+
+    # kdmx: deepest interface index whose target density is lighter than
+    # the densest reconstructed water (0-based layer index semantics:
+    # interfaces k = 1..kk use sig_trg[k-1] as their target in the
+    # 1-based reference; here target of interface k is sigmar[k-1]).
+    # reference kdmx (1-based): largest k with sig_trg(k) < sig_max.
+    kdmx = jnp.maximum(1, jnp.sum((sig_trg < sig_max).astype(jnp.int32),
+                                  axis=0))              # (H) 1-based
+
+    plevel = jnp.asarray(ale.plevel, p_src.dtype)
+    pmin = jnp.minimum(plevel.reshape((kk,) + (1,) * len(H)) + p_src[0],
+                       p_bot)                           # (kk, H), 1-based k
+
+    nudge_fac = delt1 / ale.regrid_nudge_ts
+
+    # interface density at minimum pressures
+    sig_pmin = _sigma_at(p_src, sig_up, sig_lo, pmin)   # (kk, H)
+
+    # transition interface kt (1-based): first k > k_range_plevel with
+    # sig_trg(k) > sig_pmin(k), limited to <= kdmx
+    kb = ale.k_range_plevel
+    cond = (kidx + 1 > kb) & (kidx + 1 <= kdmx) & (sig_trg > sig_pmin)
+    any_cond = jnp.any(cond, axis=0)
+    kt = jnp.where(any_cond,
+                   jnp.argmax(cond, axis=0) + 1,        # 1-based
+                   kdmx + 1)
+
+    # --- candidate positions for interfaces k = 2..kk (1-based).
+    # pressure-regime candidate: nudge toward pmin
+    p_int = p_src[1:-1]                                 # interfaces 2..kk
+    pmin_int = pmin[1:]                                 # pmin(k), k=2..kk
+    cand_press = p_int + nudge_fac * (pmin_int - p_int)
+
+    # isopycnal-regime candidate (cases A/B/C of the reference)
+    su = sig_lo[:-1]          # lower-interface density of layer k-1
+    sl = sig_up[1:]           # upper-interface density of layer k
+    # target density of interface k (1-based k = 2..kk) is sigmar(k),
+    # i.e. sigmar[1:] 0-based (mod_ale_regrid_remap.F90:612-616)
+    st = sig_trg[1:]
+
+    dsdx_up = (eos.dsigdt(e, t_lo, s_lo) * rc_t.deval1()
+               + eos.dsigds(e, t_lo, s_lo) * rc_s.deval1())[:-1]
+    dsdx_lo = (eos.dsigdt(e, t_up, s_up) * rc_t.deval0()
+               + eos.dsigds(e, t_up, s_up) * rc_s.deval0())[1:]
+
+    dst_km1 = dsig_trg[:-1]   # dsig_trg(k-1)
+    dst_k = dsig_trg[1:]      # dsig_trg(k)
+
+    dp_up = jnp.maximum(p_src[1:-1] - p_src[:-2], epsilp)
+    dp_lo = jnp.maximum(p_src[2:] - p_src[1:-1], epsilp)
+
+    lim = ale.stab_fac_limit
+
+    def nudge_up(dsig, dsigdx_raw, dstv):
+        stab = dsigdx_raw / dstv
+        dsigdx = dstv * jnp.maximum(stab, lim)
+        delta = jnp.maximum(-.5, dsig * nudge_fac / dsigdx) \
+            * (p_src[1:-1] - p_src[:-2])
+        return delta, stab
+
+    def nudge_dn(dsig, dsigdx_raw, dstv):
+        stab = dsigdx_raw / dstv
+        dsigdx = dstv * jnp.maximum(stab, lim)
+        delta = jnp.minimum(.5, dsig * nudge_fac / dsigdx) \
+            * (p_src[2:] - p_src[1:-1])
+        return delta, stab
+
+    # case A: target lighter than both neighbors -> move interface up
+    dA, stabA = nudge_up(st - su, dsdx_up, dst_km1)
+    # case B: target denser than both -> move down
+    dB, stabB = nudge_dn(st - sl, dsdx_lo, dst_k)
+    # case C: between -> interpolated interface density decides direction
+    sig_intrp = ((sl + .5 * dsdx_lo) * dp_up
+                 + (su - .5 * dsdx_up) * dp_lo) / (dp_up + dp_lo)
+    sig_intrp = jnp.clip(sig_intrp, jnp.minimum(su, sl), jnp.maximum(su, sl))
+    dsigC = st - sig_intrp
+    dCu, stabCu = nudge_up(dsigC, dsdx_up + 2. * (sig_intrp - su), dst_km1)
+    dCd, stabCd = nudge_dn(dsigC, dsdx_lo + 2. * (sl - sig_intrp), dst_k)
+    dC = jnp.where(dsigC < 0., dCu, dCd)
+    stabC = jnp.where(dsigC < 0., stabCu, stabCd)
+
+    caseA = (st < su) & (st < sl)
+    caseB = (st > su) & (st > sl)
+    delta = jnp.where(caseA, dA, jnp.where(caseB, dB, dC))
+    stab = jnp.where(caseA, stabA, jnp.where(caseB, stabB, stabC))
+    cand_iso = p_src[1:-1] + delta
+    sf_iso = jnp.clip((lim - stab) / lim, 0., 1.)
+
+    # select per interface: k (1-based) in [2, kt) -> pressure regime;
+    # [kt, kdmx] -> isopycnal; (kdmx, kk] -> bottom
+    kif = kidx[1:] + 1        # 1-based interface index, 2..kk
+    press_reg = kif < kt
+    iso_reg = (kif >= kt) & (kif <= kdmx)
+    cand = jnp.where(press_reg, cand_press,
+                     jnp.where(iso_reg, cand_iso, p_bot))
+    sfac = jnp.where(press_reg, 1.0, jnp.where(iso_reg, sf_iso, 0.))
+
+    # monotonic clamp with minimum interior thickness
+    # (the reference's per-case clamp + dpmin enforcement)
+    def clamp_scan(prev, xs):
+        c, pmn = xs
+        out = jnp.minimum(jnp.maximum(jnp.maximum(c, pmn),
+                                      prev + ale.dpmin_interior), p_bot)
+        return out, out
+
+    _, p_mid = lax.scan(clamp_scan, p_src[0], (cand, pmin[1:]))
+    p_dst = jnp.concatenate([p_src[:1], p_mid, p_bot[None]], axis=0)
+    smooth_fac = jnp.concatenate(
+        [jnp.ones_like(sfac[:1]), sfac, jnp.zeros_like(sfac[:1])], axis=0)
+    return p_dst, smooth_fac
+
+
+def regrid_smooth(grid: Grid, ale: AleParams, p_dst, smooth_fac, delt1):
+    """Lateral flux-limited diffusion of weakly stratified interfaces
+    (regrid_smooth_jslice, mod_ale_regrid_remap.F90:946-1020)."""
+    im1, ip1, jm1, jp1 = grid.im1, grid.ip1, grid.jm1, grid.jp1
+    iu, iv, ip = grid.iu, grid.iv, grid.ip
+
+    pd = p_dst                       # (kk+1, H)
+    dlayer_up = pd[1:-1] - pd[:-2]   # thickness of layer k-1 at interface k
+    dlayer_lo = pd[2:] - pd[1:-1]    # thickness of layer k
+
+    # u-direction
+    cdiff = delt1 * grid.scuy * grid.scuxi
+    difmx = .5 * (im1(grid.difmxp) + grid.difmxp)
+    flxhi = .125 * jnp.minimum(im1(dlayer_up) * im1(grid.scp2),
+                               dlayer_lo * grid.scp2)
+    flxlo = -.125 * jnp.minimum(dlayer_up * grid.scp2,
+                                im1(dlayer_lo) * im1(grid.scp2))
+    sdiff = jnp.minimum(.5 * (im1(smooth_fac[1:-1]) + smooth_fac[1:-1])
+                        * ale.smooth_diff_max, difmx)
+    flxu = jnp.clip(cdiff * sdiff * (im1(pd[1:-1]) - pd[1:-1]),
+                    flxlo, flxhi) * iu
+
+    # v-direction
+    cdiffv = delt1 * grid.scvx * grid.scvyi
+    difmxv = .5 * (jm1(grid.difmxp) + grid.difmxp)
+    flxhiv = .125 * jnp.minimum(jm1(dlayer_up) * jm1(grid.scp2),
+                                dlayer_lo * grid.scp2)
+    flxlov = -.125 * jnp.minimum(dlayer_up * grid.scp2,
+                                 jm1(dlayer_lo) * jm1(grid.scp2))
+    sdiffv = jnp.minimum(.5 * (jm1(smooth_fac[1:-1]) + smooth_fac[1:-1])
+                         * ale.smooth_diff_max, difmxv)
+    flxv = jnp.clip(cdiffv * sdiffv * (jm1(pd[1:-1]) - pd[1:-1]),
+                    flxlov, flxhiv) * iv
+
+    conv = (ip1(flxu) - flxu + jp1(flxv) - flxv)
+    p_new_mid = (pd[1:-1] - conv * grid.scp2i) * ip
+    return jnp.concatenate([pd[:1], p_new_mid, pd[-1:]], axis=0)
+
+
+def ale_regrid_remap(grid: Grid, e: eos.EosParams, ale: AleParams,
+                     s: State, m: int, n: int, delt1) -> State:
+    """Full per-step ALE operation (ale_regrid_remap,
+    mod_ale_regrid_remap.F90:1486-1984)."""
+    kk = grid.kk
+    ip, iu, iv = grid.ip, grid.iu, grid.iv
+    im1, jm1 = grid.im1, grid.jm1
+
+    p_src = cumulative_p(s.dp[n]) * ip
+    p_bot = p_src[kk]
+
+    # 1. reconstruct tracers
+    rc_t = h3.ppm_reconstruct(p_src, s.temp[n], ale.tracer_limiting,
+                              pc_upper=ale.tracer_pc_upper)
+    rc_s = h3.ppm_reconstruct(p_src, s.saln[n], ale.tracer_limiting,
+                              pc_upper=ale.tracer_pc_upper)
+
+    # 2. regrid
+    p_dst, smooth_fac = regrid_nudge(grid, e, ale, p_src, rc_t, rc_s,
+                                     s.sigmar, delt1)
+
+    # 3. lateral smoothing
+    if ale.smooth_diff_max > 0.:
+        p_dst = regrid_smooth(grid, ale, p_dst, smooth_fac, delt1)
+
+    # 4. remap tracers (copy_jslice_to_3d, :1153-1179)
+    temp_new = h3.remap_means(rc_t, p_dst) * ip
+    saln_new = h3.remap_means(rc_s, p_dst) * ip
+    dp_new = jnp.maximum(p_dst[1:] - p_dst[:-1], 0.) * ip
+    sigma_new = eos.sig(e, temp_new, saln_new) * ip
+
+    s = dataclasses.replace(
+        s,
+        dp=s.dp.at[n].set(dp_new),
+        temp=s.temp.at[n].set(temp_new),
+        saln=s.saln.at[n].set(saln_new),
+        sigma=s.sigma.at[n].set(sigma_new))
+
+    # 5. velocity remap (:1760-1960)
+    pu_old = cumulative_p(s.dpu[n])
+    pv_old = cumulative_p(s.dpv[n])
+
+    p_new = cumulative_p(dp_new) * ip
+    dpu_new, dpv_new = dpu_dpv_upstream(grid, p_new)
+    pu_new = cumulative_p(dpu_new)
+    pv_new = cumulative_p(dpv_new)
+
+    # rescale old velocity-point interfaces to the new column range
+    qu = jnp.minimum(im1(p_bot), p_bot) \
+        / jnp.maximum(pu_old[kk], epsilp)
+    p_src_u = pu_old * qu
+    rc_u = h3.ppm_reconstruct(p_src_u, s.u[n], ale.velocity_limiting,
+                              pc_upper=ale.velocity_pc_upper)
+    u_new = h3.remap_means(rc_u, pu_new) * iu
+
+    qv = jnp.minimum(jm1(p_bot), p_bot) \
+        / jnp.maximum(pv_old[kk], epsilp)
+    p_src_v = pv_old * qv
+    rc_v = h3.ppm_reconstruct(p_src_v, s.v[n], ale.velocity_limiting,
+                              pc_upper=ale.velocity_pc_upper)
+    v_new = h3.remap_means(rc_v, pv_new) * iv
+
+    return dataclasses.replace(
+        s,
+        u=s.u.at[n].set(u_new), v=s.v.at[n].set(v_new),
+        dpu=s.dpu.at[n].set(dpu_new), dpv=s.dpv.at[n].set(dpv_new),
+        dpuold=dpu_new, dpvold=dpv_new,
+        p=p_new, pu=pu_new, pv=pv_new)

@@ -20,11 +20,14 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from typing import Optional
+
 from ..core import eos
 from ..core.grid import Grid
 from ..core.state import State
 from ..phys.forcing import Forcing
 from .advect import advect
+from .ale import AleParams, ale_regrid_remap
 from .barotp import BarotpParams, barotp
 from .cppm import CppmCoeffs
 from .diffusion_fields import DiffusionFields
@@ -43,6 +46,7 @@ class StepParams(NamedTuple):
     barotp: BarotpParams = BarotpParams()
     pgfmth: str = 'dynamic enthalpy'
     vcoord_isopyc: bool = False
+    ale: Optional[AleParams] = None
 
 
 def init_fluxes(s: State, m: int) -> State:
@@ -74,9 +78,13 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     # save old fields for time smoothing (mod_blom_step.F90:128)
     s = tmsmt1(grid, s, n, par.vcoord_isopyc)
 
-    # TODO(next milestones, mod_blom_step.F90:131-158): ale_regrid_remap,
-    # cmnfld2, difest, eddtra contribute here; with the fuk95 deck the
-    # eddy transports and interior diffusivities are zero.
+    # ALE vertical regrid + remap (mod_blom_step.F90:131-135)
+    if not par.vcoord_isopyc and par.ale is not None:
+        s = ale_regrid_remap(grid, e, par.ale, s, m, n, delt1)
+
+    # TODO(next milestones, mod_blom_step.F90:136-158): cmnfld2, difest,
+    # eddtra contribute here; with the fuk95 deck the eddy transports and
+    # interior diffusivities are zero.
 
     # advection (mod_blom_step.F90:148)
     s = advect(grid, s, dfl, coeffs_i, coeffs_j, m, n, delt1, dlt)
