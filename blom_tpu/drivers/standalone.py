@@ -22,6 +22,7 @@ from ..dynamics.diffusion_fields import zero_diffusion_fields
 from ..dynamics.momtum import MomtumParams
 from ..dynamics.step import StepParams, blom_step, make_two_step
 from ..phys.forcing import zero_forcing
+from ..phys.swabs import init_swabs
 
 
 @dataclasses.dataclass
@@ -35,6 +36,7 @@ class Model:
     state: State
     forcing: object
     dfl: object
+    swabs: object
 
 
 def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None) -> Model:
@@ -76,10 +78,11 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None) -> Model:
 
     forcing = zero_forcing(kdm, grid.shape, dtype)
     dfl = zero_diffusion_fields(kdm, grid.shape, dtype)
+    swabs = init_swabs(grid.shape, 'jerlov', 3, dtype)
 
     return Model(grid=grid, e=e, par=par, coeffs_i=coeffs_i,
                  coeffs_j=coeffs_j, clock=clock, state=state,
-                 forcing=forcing, dfl=dfl)
+                 forcing=forcing, dfl=dfl, swabs=swabs)
 
 
 def run(model: Model, nsteps: int) -> Tuple[State, modeltime.ModelTime]:
@@ -92,7 +95,7 @@ def run(model: Model, nsteps: int) -> Tuple[State, modeltime.ModelTime]:
 
     two_step = make_two_step(model.grid, model.e, model.par,
                              model.coeffs_i, model.coeffs_j,
-                             model.forcing, model.dfl)
+                             model.forcing, model.dfl, model.swabs)
 
     @jax.jit
     def run_pairs(s, delt1_pairs):
@@ -116,6 +119,7 @@ def run(model: Model, nsteps: int) -> Tuple[State, modeltime.ModelTime]:
         s = jax.jit(
             lambda s, d: blom_step(model.grid, model.e, model.par,
                                    model.coeffs_i, model.coeffs_j,
-                                   s, model.forcing, model.dfl, 0, 1, d)
+                                   s, model.forcing, model.dfl, 0, 1, d,
+                                   model.swabs)
         )(s, jnp.asarray(delt1s[-1], s.pb.dtype))
     return s, c

@@ -26,8 +26,11 @@ from ..core import eos
 from ..core.grid import Grid
 from ..core.state import State
 from ..phys.forcing import Forcing
+from ..phys.swabs import SwabsFields
+from ..phys.vmix import VmixParams, difest_vertical
 from .advect import advect
 from .ale import AleParams, ale_regrid_remap
+from .ale_vdiff import ale_vdifft, ale_vdiffm
 from .barotp import BarotpParams, barotp
 from .cppm import CppmCoeffs
 from .diffusion_fields import DiffusionFields
@@ -47,6 +50,7 @@ class StepParams(NamedTuple):
     pgfmth: str = 'dynamic enthalpy'
     vcoord_isopyc: bool = False
     ale: Optional[AleParams] = None
+    vmix: Optional[VmixParams] = VmixParams()
 
 
 def init_fluxes(s: State, m: int) -> State:
@@ -63,7 +67,8 @@ def init_fluxes(s: State, m: int) -> State:
 def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
               coeffs_i: CppmCoeffs, coeffs_j: CppmCoeffs,
               s: State, forcing: Forcing, dfl: DiffusionFields,
-              m: int, n: int, delt1) -> State:
+              m: int, n: int, delt1,
+              swabs: Optional[SwabsFields] = None) -> State:
     """Advance one baroclinic time step (mod_blom_step.F90:74-324).
 
     m, n are static python ints (0/1); delt1 is traced (baclin on the
@@ -105,8 +110,16 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     s, utotn, vtotn = momtum(grid, s, forcing, par.momtum, dfl.difwgt,
                              m, n, delt1, dlt, par.vcoord_isopyc)
 
-    # TODO: convec/diapfl (isopycnic path), thermf, ALE forcing and
-    # vertical diffusion (mod_blom_step.F90:174-208).
+    # TODO: convec/diapfl/mxlayr (isopycnic path), thermf dispatch
+    # (mod_blom_step.F90:174-195).
+
+    # ALE-path vertical physics (mod_blom_step.F90:196-207):
+    # cmnfld_bfsqi_ale + ale_forcing + difest_vertical_hybrid are fused
+    # in difest_vertical; then implicit vertical diffusion.
+    if not par.vcoord_isopyc and par.vmix is not None and swabs is not None:
+        vf = difest_vertical(grid, e, s, forcing, swabs, par.vmix, n)
+        s = ale_vdifft(grid, e, s, forcing, vf, m, n, delt1)
+        s = ale_vdiffm(grid, s, vf, m, n, delt1)
 
     # barotropic solve (mod_blom_step.F90:218)
     s = barotp(grid, s, utotn, vtotn, m, n, par.lstep, dlt, par.barotp)
@@ -122,7 +135,8 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
 
 def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
                   coeffs_i: CppmCoeffs, coeffs_j: CppmCoeffs,
-                  forcing: Forcing, dfl: DiffusionFields):
+                  forcing: Forcing, dfl: DiffusionFields,
+                  swabs: Optional[SwabsFields] = None):
     """Return a scan body advancing two steps (both time-level
     parities).  First step of the pair uses (m, n) = (0, 1) — the parity
     of the very first model step (nstep_pre = 0)."""
@@ -130,9 +144,9 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
     def two_step(s: State, delt1_pair):
         d1, d2 = delt1_pair
         s = blom_step(grid, e, par, coeffs_i, coeffs_j, s, forcing, dfl,
-                      0, 1, d1)
+                      0, 1, d1, swabs)
         s = blom_step(grid, e, par, coeffs_i, coeffs_j, s, forcing, dfl,
-                      1, 0, d2)
+                      1, 0, d2, swabs)
         return s, None
 
     return two_step
