@@ -36,7 +36,7 @@ def getpl(e_th, e_s, phiu, phil, pup, iters: int = 12):
 
 def init_state(grid: Grid, e: eos.EosParams, *, phi, temp, saln, sigmar,
                v=None, u=None, delt1, dlt,
-               dtype=jnp.float64) -> State:
+               dtype=jnp.float64, ntr: int = 0) -> State:
     """Build the initial State (inicon, mod_inicon.F90:932-1459).
 
     phi: (kk+1, H) interface geopotential [m2 s-2]; temp/saln/sigmar:
@@ -45,7 +45,7 @@ def init_state(grid: Grid, e: eos.EosParams, *, phi, temp, saln, sigmar,
     ip, iu, iv, iq = grid.ip, grid.iu, grid.iv, grid.iq
     im1, jm1, ip1 = grid.im1, grid.jm1, grid.ip1
 
-    s = empty_state(grid, dtype)
+    s = empty_state(grid, dtype, ntr=ntr)
 
     temp = jnp.asarray(temp, dtype)
     saln = jnp.asarray(saln, dtype)

@@ -108,6 +108,10 @@ class State:
     told: jax.Array
     sold: jax.Array
 
+    # -- passive tracers (trc/mod_tracers.F90: trc, trcold)
+    trc: jax.Array        # (L, ntr, K, *H)
+    trcold: jax.Array     # (ntr, K, *H)
+
     # -- vertical-coordinate reference densities (mod_vcoord.F90 sigmar)
     sigmar: jax.Array     # (K, *H) layer reference potential density
 
@@ -120,7 +124,7 @@ def _z(shape, dtype):
     return jnp.zeros(shape, dtype)
 
 
-def empty_state(grid: Grid, dtype=jnp.float64) -> State:
+def empty_state(grid: Grid, dtype=jnp.float64, ntr: int = 0) -> State:
     kk = grid.kk
     H = grid.shape
     L2K = (2, kk) + H
@@ -155,6 +159,7 @@ def empty_state(grid: Grid, dtype=jnp.float64) -> State:
         xiyp_o=_z(H, dtype), xiym_o=_z(H, dtype),
         dpold=_z(L2K, dtype), dpuold=_z(K, dtype), dpvold=_z(K, dtype),
         told=_z(K, dtype), sold=_z(K, dtype),
+        trc=_z((2, ntr, kk) + H, dtype), trcold=_z((ntr, kk) + H, dtype),
         sigmar=_z(K, dtype),
         kfpla=jnp.full(L2, 2, jnp.int32), ustarb=_z(H, dtype))
 

@@ -39,7 +39,8 @@ class Model:
     swabs: object
 
 
-def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None) -> Model:
+def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
+                use_idlage=False) -> Model:
     """Assemble the fuk95 experiment (tests/fuk95/limits deck values)."""
     from ..configs import fuk95 as cfg
 
@@ -56,9 +57,10 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None) -> Model:
     z, sigma, saln, sigmar, phi = cfg.initial_profiles(itdm, jtdm, kdm)
     temp = np.asarray(eos.tofsig(e, sigma, saln))
 
+    ntr = 1 if use_idlage else 0
     state = init.init_state(
         grid, e, phi=phi, temp=temp, saln=saln, sigmar=sigmar,
-        delt1=baclin, dlt=clock.dlt, dtype=dtype)
+        delt1=baclin, dlt=clock.dlt, dtype=dtype, ntr=ntr)
 
     from ..dynamics.ale import make_ale_params
     par = StepParams(
@@ -67,7 +69,8 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None) -> Model:
                             mommth='enscon'),
         barotp=BarotpParams(cwbdts=0., cwbdls=25., mommth='enscon'),
         pgfmth='dynamic enthalpy', vcoord_isopyc=False,
-        ale=make_ale_params(kdm))
+        ale=make_ale_params(kdm),
+        itriag=0 if use_idlage else -1)
 
     coeffs_i = cppm_mod.init_cppm_coeffs(
         np.asarray(grid.ip), np.asarray(grid.scpx), axis=-1,

@@ -50,7 +50,8 @@ def advect(grid: Grid, s: State, dfl: DiffusionFields,
     # flux_integration's bottom-limited reconstruction)
     p = cumulative_p(s.dp[n]) * ip
 
-    tm = jnp.stack([s.temp[n], s.saln[n]], axis=0)
+    ntr = s.trc.shape[1]
+    tm = jnp.concatenate([s.temp[n][None], s.saln[n][None], s.trc[n]], axis=0)
     h = s.dp[n]
 
     uflx_acc = jnp.zeros_like(h)
@@ -100,6 +101,7 @@ def advect(grid: Grid, s: State, dfl: DiffusionFields,
     vtflx_acc = vtflx_acc + htfv[0]
     vsflx_acc = vsflx_acc + htfv[1]
 
+    s = dataclasses.replace(s, trc=s.trc.at[n].set(tm2[2:] * ip))
     return dataclasses.replace(
         s,
         dp=s.dp.at[n].set(h2),

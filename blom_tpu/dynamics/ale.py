@@ -297,6 +297,17 @@ def ale_regrid_remap(grid: Grid, e: eos.EosParams, ale: AleParams,
     dp_new = jnp.maximum(p_dst[1:] - p_dst[:-1], 0.) * ip
     sigma_new = eos.sig(e, temp_new, saln_new) * ip
 
+    ntr = s.trc.shape[1]
+    if ntr:
+        trc_news = []
+        for nt in range(ntr):
+            rc_c = h3.ppm_reconstruct(p_src, s.trc[n, nt],
+                                      ale.tracer_limiting,
+                                      pc_upper=ale.tracer_pc_upper)
+            trc_news.append(h3.remap_means(rc_c, p_dst) * ip)
+        s = dataclasses.replace(
+            s, trc=s.trc.at[n].set(jnp.stack(trc_news, axis=0)))
+
     s = dataclasses.replace(
         s,
         dp=s.dp.at[n].set(dp_new),

@@ -97,6 +97,18 @@ def ale_vdifft(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
 
     sigma_new = eos.sig(e, temp_new, saln_new) * ip
 
+    ntr = s.trc.shape[1]
+    if ntr:
+        # tracers diffuse with the temperature diffusivity and zero
+        # surface flux (mod_ale_vdiff.F90:178-216; trflx is zero for all
+        # idealized configs)
+        trc_news = []
+        for nt in range(ntr):
+            tr_new = _thomas(dp_c + 1e-30, fp_t, dp_c * s.trc[n, nt])
+            trc_news.append(jnp.maximum(0., tr_new) * ip)
+        s = dataclasses.replace(
+            s, trc=s.trc.at[n].set(jnp.stack(trc_news, axis=0)))
+
     return dataclasses.replace(
         s,
         temp=s.temp.at[n].set(temp_new),

@@ -57,6 +57,9 @@ def pbcor1(grid: Grid, s: State, m: int, n: int, dlt) -> State:
 
     uflux, uflux2, uflux3, vflux, vflux2, vflux3 = _upstream_column_fluxes(
         grid, utot, vtot, s.dp[n], s.temp[n], s.saln[n], p_bot)
+    upos, vpos = (utot > 0.)[None], (vtot > 0.)[None]
+    uflxtr = uflux[None] * jnp.where(upos, grid.im1(s.trc[n]), s.trc[n])
+    vflxtr = vflux[None] * jnp.where(vpos, grid.jm1(s.trc[n]), s.trc[n])
 
     dpo = s.dp[n]
     dp_new = jnp.maximum(0., dpo - (ip1(uflux) - uflux
@@ -69,6 +72,9 @@ def pbcor1(grid: Grid, s: State, m: int, n: int, dlt) -> State:
     temp_new = (dpo_e * s.temp[n]
                 - (ip1(uflux3) - uflux3 + jp1(vflux3) - vflux3)
                 * grid.scp2i) * dpni * ip
+    trc_new = (dpo_e[None] * s.trc[n]
+               - (grid.ip1(uflxtr) - uflxtr + grid.jp1(vflxtr) - vflxtr)
+               * grid.scp2i) * dpni[None] * ip
     dp_new = jnp.where(dp_new < dpeps2, 0., dp_new)
 
     # rescale column to the predicted bottom pressure (mod_pbcor.F90:376-400)
@@ -81,6 +87,7 @@ def pbcor1(grid: Grid, s: State, m: int, n: int, dlt) -> State:
         dp=s.dp.at[n].set(dp_new),
         temp=s.temp.at[n].set(temp_new),
         saln=s.saln.at[n].set(saln_new),
+        trc=s.trc.at[n].set(trc_new),
         uflx=s.uflx.at[m].add(uflux),
         vflx=s.vflx.at[m].add(vflux),
         usflx=s.usflx.at[m].add(uflux2),
@@ -104,6 +111,9 @@ def pbcor2(grid: Grid, e: eos.EosParams, s: State, m: int, n: int,
 
     uflux, uflux2, uflux3, vflux, vflux2, vflux3 = _upstream_column_fluxes(
         grid, utot, vtot, dp_m, s.temp[m], s.saln[m], p_bot)
+    upos, vpos = (utot > 0.)[None], (vtot > 0.)[None]
+    uflxtr = uflux[None] * jnp.where(upos, grid.im1(s.trc[m]), s.trc[m])
+    vflxtr = vflux[None] * jnp.where(vpos, grid.jm1(s.trc[m]), s.trc[m])
 
     dpo = dp_m
     dp_new = dpo - grid.scp2i * (ip1(uflux) - uflux + jp1(vflux) - vflux)
@@ -114,6 +124,9 @@ def pbcor2(grid: Grid, e: eos.EosParams, s: State, m: int, n: int,
     temp_new = (dpo * s.temp[m]
                 - grid.scp2i * (ip1(uflux3) - uflux3
                                 + jp1(vflux3) - vflux3)) * dpni
+    trc_new = (dpo[None] * s.trc[m]
+               - grid.scp2i * (grid.ip1(uflxtr) - uflxtr
+                               + grid.jp1(vflxtr) - vflxtr)) * dpni[None]
     sigma_new = eos.sig(e, temp_new, saln_new) * ip
     dp_new = dp_new - epsilp
     dp_new = jnp.where(dp_new < dpeps2, 0., dp_new) * ip
@@ -129,6 +142,7 @@ def pbcor2(grid: Grid, e: eos.EosParams, s: State, m: int, n: int,
         dp=s.dp.at[m].set(dp_new),
         temp=s.temp.at[m].set(temp_new),
         saln=s.saln.at[m].set(saln_new),
+        trc=s.trc.at[m].set(trc_new),
         sigma=s.sigma.at[m].set(sigma_new),
         p=p_new,
         uflx=s.uflx.at[n].add(uflux),

@@ -51,6 +51,8 @@ class StepParams(NamedTuple):
     vcoord_isopyc: bool = False
     ale: Optional[AleParams] = None
     vmix: Optional[VmixParams] = VmixParams()
+    itriag: int = -1          # index of the ideal-age tracer, -1 = none
+    nday_in_year: float = 360.
 
 
 def init_fluxes(s: State, m: int) -> State:
@@ -112,6 +114,11 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
 
     # TODO: convec/diapfl/mxlayr (isopycnic path), thermf dispatch
     # (mod_blom_step.F90:174-195).
+
+    # tracer source/sink update (updtrc, mod_blom_step.F90:209-213)
+    if par.itriag >= 0:
+        from ..tracers.idlage import idlage_step
+        s = idlage_step(s, par.itriag, n, delt1, par.nday_in_year)
 
     # ALE-path vertical physics (mod_blom_step.F90:196-207):
     # cmnfld_bfsqi_ale + ale_forcing + difest_vertical_hybrid are fused

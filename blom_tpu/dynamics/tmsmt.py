@@ -29,7 +29,7 @@ def tmsmt1(grid: Grid, s: State, n: int, vcoord_isopyc: bool = False) -> State:
     s = dataclasses.replace(
         s,
         dpold=s.dpold.at[n].set(s.dp[n]),
-        told=s.temp[n], sold=s.saln[n])
+        told=s.temp[n], sold=s.saln[n], trcold=s.trc[n])
     if vcoord_isopyc:
         s = dataclasses.replace(s, dpuold=s.dpu[n], dpvold=s.dpv[n])
     return s
@@ -60,12 +60,16 @@ def tmsmt2(grid: Grid, s: State, m: int, n: int,
               + wts2 * (pold * s.told + pnew * s.temp[n])) / denom * ip
     saln_m = (wts1 * pmid * s.saln[m]
               + wts2 * (pold * s.sold + pnew * s.saln[n])) / denom * ip
+    trc_m = (wts1 * pmid[None] * s.trc[m]
+             + wts2 * (pold[None] * s.trcold
+                       + pnew[None] * s.trc[n])) / denom[None] * ip
 
     s = dataclasses.replace(
         s,
         dp=s.dp.at[m].set(dp_m_new),
         temp=s.temp.at[m].set(temp_m),
-        saln=s.saln.at[m].set(saln_m))
+        saln=s.saln.at[m].set(saln_m),
+        trc=s.trc.at[m].set(trc_m))
 
     p = cumulative_p(dp_m_new) * ip
     s = dataclasses.replace(s, p=p)
