@@ -1,0 +1,66 @@
+"""Checkpoint / restart.
+
+TPU-native re-design of the reference restart system
+(reference: /root/reference/phy/mod_restart.F90 — registry-driven NetCDF
+dump of all prognostic + auxiliary state with rotating file naming and a
+rstdate.txt log; restart_write :1143, restart_read :1463).
+
+Here the State pytree is the registry: every leaf is saved verbatim
+(compressed .npz single-host; orbax/tensorstore is the planned sharded
+multi-host path), plus clock metadata.  Restart continuation is bit-exact
+by construction because the step function is pure: reloading the pytree
+reproduces the exact scan input (the reference needs halo re-priming and
+delt1 switching, mod_blom_init.F90:244-378; here delt1 handling lives in
+the clock)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import modeltime
+from ..core.state import State
+
+
+def write_restart(path: str, state: State, clock: modeltime.ModelTime):
+    """Dump the full state + clock (restart_write, mod_restart.F90:1143)."""
+    arrays = {f.name: np.asarray(getattr(state, f.name))
+              for f in dataclasses.fields(state)}
+    meta = dict(
+        calendar=clock.calendar, baclin=clock.baclin, batrop=clock.batrop,
+        lstep=clock.lstep, dlt=clock.dlt, nstep_in_day=clock.nstep_in_day,
+        date0=clock.date0.to_ymd(), date=clock.date.to_ymd(),
+        nstep0=clock.nstep0, nstep=clock.nstep,
+        time0=clock.time0, time=clock.time)
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        np.savez_compressed(f, __meta__=json.dumps(meta), **arrays)
+    os.replace(tmp, path)
+
+
+def read_restart(path: str, dtype=None):
+    """Load (state, clock) (restart_read, mod_restart.F90:1463)."""
+    from ..core import calendar as cal
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z['__meta__']))
+        kwargs = {}
+        for f in dataclasses.fields(State):
+            a = z[f.name]
+            if dtype is not None and a.dtype.kind == 'f':
+                a = a.astype(dtype)
+            kwargs[f.name] = jnp.asarray(a)
+    state = State(**kwargs)
+    clock = modeltime.ModelTime(
+        calendar=meta['calendar'], baclin=meta['baclin'],
+        batrop=meta['batrop'], lstep=meta['lstep'], dlt=meta['dlt'],
+        nstep_in_day=meta['nstep_in_day'],
+        date0=cal.Date.from_ymd(meta['date0']),
+        date=cal.Date.from_ymd(meta['date']),
+        nstep0=meta['nstep0'], nstep=meta['nstep'],
+        time0=meta['time0'], time=meta['time'])
+    return state, clock

@@ -1,0 +1,92 @@
+"""Restart bit-exactness, budgets, chkvar, checksums, diagnostics."""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from blom_tpu.drivers import standalone
+from blom_tpu.dynamics import budget, chkvar
+from blom_tpu.io import checksum, dia, restart
+
+
+@pytest.fixture(scope='module')
+def model():
+    return standalone.build_fuk95(itdm=48, jtdm=16, kdm=8)
+
+
+def test_restart_bit_exact(model, tmp_path_factory):
+    """The reference's design invariant: bit-identical continuation after
+    restart (mod_blom_step.F90:104-108, SURVEY.md section 4.3)."""
+    tmp = tmp_path_factory.mktemp('rst')
+    path = str(tmp / 'restart.npz')
+
+    # straight run: 8 steps
+    s8, c8 = standalone.run(model, 8)
+
+    # split run: 4 steps, checkpoint, reload, 4 more
+    s4, c4 = standalone.run(model, 4)
+    restart.write_restart(path, s4, c4)
+    s4r, c4r = restart.read_restart(path)
+    assert c4r.nstep == 4
+    m2 = dataclasses.replace(model, state=s4r, clock=c4r)
+    s8r, c8r = standalone.run(m2, 4)
+
+    for f in dataclasses.fields(s8):
+        a = np.asarray(getattr(s8, f.name))
+        b = np.asarray(getattr(s8r, f.name))
+        assert a.shape == b.shape
+        assert (a == b).all(), f'{f.name} not bit-identical after restart'
+
+
+def test_budget_sums(model):
+    b0 = budget.budget_sums(model.grid, model.state, 1)
+    s, _ = standalone.run(model, 6)
+    b1 = budget.budget_sums(model.grid, s, 1)
+    d = budget.budget_deltas(b0, b1)
+    assert abs(d['mass']) < 1e-12
+    assert abs(d['salt'] / max(abs(float(b0.salt)), 1.)) < 1e-9
+
+
+def test_chkvar_passes_and_catches(model):
+    ok, bad = chkvar.chkvar(model.grid, model.state, 1)
+    assert bool(ok)
+    # corrupt a point -> must be caught with location
+    s_bad = dataclasses.replace(
+        model.state, temp=model.state.temp.at[1, 0, 5, 7].set(jnp.nan))
+    ok2, bad2 = chkvar.chkvar(model.grid, s_bad, 1)
+    assert not bool(ok2)
+    with pytest.raises(FloatingPointError) as ei:
+        chkvar.chkvar_host(model.grid, s_bad, 1, nstep=42)
+    assert 'j=5' in str(ei.value) and 'i=7' in str(ei.value)
+
+
+def test_checksums_change_and_reproduce(model):
+    c0 = checksum.state_checksums(model.state, ('dp', 'temp', 'u'))
+    c0b = checksum.state_checksums(model.state, ('dp', 'temp', 'u'))
+    assert c0 == c0b
+    s, _ = standalone.run(model, 2)
+    c1 = checksum.state_checksums(s, ('dp', 'temp', 'u'))
+    assert c1 != c0
+
+
+def test_dia_accumulate_and_write(model, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('dia')
+    g = dia.init_group(model.grid, model.state,
+                       ('sealv', 'sst', 'temp', 'dp'))
+    s = model.state
+    for lvl in (1, 1, 1):
+        g = dia.accumulate(model.grid, g, s, lvl)
+    path = str(tmp / 'hd.nc')
+    dia.write_netcdf(path, model.grid, g, time_days=1.0)
+    assert os.path.getsize(path) > 0
+
+    from scipy.io import netcdf_file
+    with netcdf_file(path, 'r') as f:
+        assert 'sst' in f.variables and 'temp' in f.variables
+        sst = f.variables['sst'][0].copy()
+        ipm = np.asarray(model.grid.ip) > 0
+        t0 = np.asarray(s.temp[1][0])
+        np.testing.assert_allclose(sst[ipm], t0[ipm].astype('f4'), rtol=1e-6)
