@@ -126,3 +126,98 @@ def run(model: Model, nsteps: int) -> Tuple[State, modeltime.ModelTime]:
                                    model.swabs)
         )(s, jnp.asarray(delt1s[-1], s.pb.dtype))
     return s, c
+
+
+def build_channel(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
+                  ztx0=-.05, baclin=300., batrop=10.) -> Model:
+    """Assemble the channel experiment (channel/mod_channel.F90)."""
+    from ..configs import channel as cfg
+    from ..dynamics.ale import make_ale_params
+
+    itdm = itdm or cfg.ITDM
+    jtdm = jtdm or cfg.JTDM
+    kdm = kdm or cfg.KDM
+
+    clock = modeltime.init_timevars('channel', baclin, batrop,
+                                    20000101, 20000101)
+    grid = cfg.make_grid(baclin, itdm, jtdm, kdm, dtype=dtype)
+    e = eos.init_eos(pref=0., expcnf='channel')
+
+    z, sigmar, saln, phi = cfg.initial_profiles(grid, itdm, jtdm, kdm)
+    temp = np.asarray(eos.tofsig(e, sigmar, saln))
+
+    state = init.init_state(
+        grid, e, phi=phi, temp=temp, saln=saln, sigmar=sigmar,
+        delt1=baclin, dlt=clock.dlt, dtype=dtype)
+
+    par = StepParams(
+        baclin=baclin, lstep=clock.lstep, dlt=clock.dlt,
+        momtum=MomtumParams(vsc2hi=.2, vsc2lo=.2, cbar=.05, cb=.002,
+                            mommth='enscon'),
+        barotp=BarotpParams(cwbdts=5.e-5, cwbdls=25., mommth='enscon'),
+        pgfmth='dynamic enthalpy', vcoord_isopyc=False,
+        ale=make_ale_params(kdm))
+
+    coeffs_i = cppm_mod.init_cppm_coeffs(
+        np.asarray(grid.ip), np.asarray(grid.scpx), axis=-1,
+        periodic=grid.periodic_i, dtype=dtype)
+    coeffs_j = cppm_mod.init_cppm_coeffs(
+        np.asarray(grid.ip), np.asarray(grid.scpy), axis=-2,
+        periodic=grid.periodic_j, dtype=dtype)
+
+    forcing = zero_forcing(kdm, grid.shape, dtype)
+    taux, tauy = cfg.wind_stress(grid.shape, ztx0)
+    import dataclasses as _dc
+    forcing = _dc.replace(
+        forcing,
+        taux=jnp.asarray(taux, dtype) * grid.iu,
+        tauy=jnp.asarray(tauy, dtype) * grid.iv)
+    dfl = zero_diffusion_fields(kdm, grid.shape, dtype)
+    swabs = init_swabs(grid.shape, 'jerlov', 3, dtype)
+
+    return Model(grid=grid, e=e, par=par, coeffs_i=coeffs_i,
+                 coeffs_j=coeffs_j, clock=clock, state=state,
+                 forcing=forcing, dfl=dfl, swabs=swabs)
+
+
+def build_single_column(dtype=jnp.float64, kdm=None, baclin=1800.,
+                        batrop=60.) -> Model:
+    """Assemble the single-column experiment
+    (single_column/mod_single_column.F90)."""
+    from ..configs import single_column as cfg
+    from ..dynamics.ale import make_ale_params
+
+    kdm = kdm or cfg.KDM
+    clock = modeltime.init_timevars('single_column', baclin, batrop,
+                                    20000101, 20000101)
+    grid = cfg.make_grid(baclin, kdm, dtype=dtype)
+    e = eos.init_eos(pref=0., expcnf='single_column')
+
+    z, temp, saln, phi = cfg.initial_profiles(kdm)
+    sigmar = np.asarray(eos.sig(e, temp, saln))
+
+    state = init.init_state(
+        grid, e, phi=phi, temp=temp, saln=saln, sigmar=sigmar,
+        delt1=baclin, dlt=clock.dlt, dtype=dtype)
+
+    par = StepParams(
+        baclin=baclin, lstep=clock.lstep, dlt=clock.dlt,
+        momtum=MomtumParams(mommth='enscon'),
+        barotp=BarotpParams(mommth='enscon'),
+        pgfmth='dynamic enthalpy', vcoord_isopyc=False,
+        ale=make_ale_params(kdm))
+
+    coeffs_i = cppm_mod.init_cppm_coeffs(
+        np.asarray(grid.ip), np.asarray(grid.scpx), axis=-1,
+        periodic=grid.periodic_i, dtype=dtype)
+    coeffs_j = cppm_mod.init_cppm_coeffs(
+        np.asarray(grid.ip), np.asarray(grid.scpy), axis=-2,
+        periodic=grid.periodic_j, dtype=dtype)
+
+    forcing = zero_forcing(kdm, grid.shape, dtype)
+    dfl = zero_diffusion_fields(kdm, grid.shape, dtype)
+    swabs = init_swabs(grid.shape, 'jerlov', 3, dtype)
+
+    return Model(grid=grid, e=e, par=par, coeffs_i=coeffs_i,
+                 coeffs_j=coeffs_j, clock=clock, state=state,
+                 forcing=forcing, dfl=dfl, swabs=swabs)
