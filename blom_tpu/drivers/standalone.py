@@ -101,8 +101,8 @@ def run(model: Model, nsteps: int) -> Tuple[State, modeltime.ModelTime]:
                              model.forcing, model.dfl, model.swabs)
 
     @jax.jit
-    def run_pairs(s, delt1_pairs):
-        return jax.lax.scan(two_step, s, delt1_pairs)
+    def run_pairs(carry, delt1_pairs):
+        return jax.lax.scan(two_step, carry, delt1_pairs)
 
     # build the delt1 schedule
     delt1s = []
@@ -112,19 +112,20 @@ def run(model: Model, nsteps: int) -> Tuple[State, modeltime.ModelTime]:
         c = c.step()
     n_even = (nsteps // 2) * 2
 
+    dfl = model.dfl
     if n_even:
         pairs = (jnp.asarray(delt1s[0:n_even:2]),
                  jnp.asarray(delt1s[1:n_even:2]))
-        s, _ = run_pairs(s, pairs)
+        (s, dfl), _ = run_pairs((s, dfl), pairs)
     if nsteps % 2:
         # odd tail: single step at the pair's first parity
-        m = n_even % 2  # == 0
-        s = jax.jit(
-            lambda s, d: blom_step(model.grid, model.e, model.par,
-                                   model.coeffs_i, model.coeffs_j,
-                                   s, model.forcing, model.dfl, 0, 1, d,
-                                   model.swabs)
-        )(s, jnp.asarray(delt1s[-1], s.pb.dtype))
+        s, dfl = jax.jit(
+            lambda s, dfl, d: blom_step(model.grid, model.e, model.par,
+                                        model.coeffs_i, model.coeffs_j,
+                                        s, model.forcing, dfl, 0, 1, d,
+                                        model.swabs)
+        )(s, dfl, jnp.asarray(delt1s[-1], s.pb.dtype))
+    model.dfl = dfl
     return s, c
 
 

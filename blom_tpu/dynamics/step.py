@@ -31,6 +31,10 @@ from ..phys.vmix import VmixParams, difest_vertical
 from .advect import advect
 from .ale import AleParams, ale_regrid_remap
 from .ale_vdiff import ale_vdifft, ale_vdiffm
+from .cmnfld import cmnfld
+from .difest import DifestParams, difest_lateral
+from .diffus import diffus
+from .eddtra import eddtra
 from .barotp import BarotpParams, barotp
 from .cppm import CppmCoeffs
 from .diffusion_fields import DiffusionFields
@@ -53,6 +57,7 @@ class StepParams(NamedTuple):
     vmix: Optional[VmixParams] = VmixParams()
     itriag: int = -1          # index of the ideal-age tracer, -1 = none
     nday_in_year: float = 360.
+    difest: Optional[DifestParams] = DifestParams()
 
 
 def init_fluxes(s: State, m: int) -> State:
@@ -70,9 +75,11 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
               coeffs_i: CppmCoeffs, coeffs_j: CppmCoeffs,
               s: State, forcing: Forcing, dfl: DiffusionFields,
               m: int, n: int, delt1,
-              swabs: Optional[SwabsFields] = None) -> State:
+              swabs: Optional[SwabsFields] = None):
     """Advance one baroclinic time step (mod_blom_step.F90:74-324).
 
+    Returns (state, dfl): the diffusion/eddy-transport fields are
+    per-step state (difest/eddtra fill them, momtum/advect consume).
     m, n are static python ints (0/1); delt1 is traced (baclin on the
     first step from initial conditions, 2*baclin otherwise)."""
     dlt = par.dlt
@@ -89,9 +96,13 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     if not par.vcoord_isopyc and par.ale is not None:
         s = ale_regrid_remap(grid, e, par.ale, s, m, n, delt1)
 
-    # TODO(next milestones, mod_blom_step.F90:136-158): cmnfld2, difest,
-    # eddtra contribute here; with the fuk95 deck the eddy transports and
-    # interior diffusivities are zero.
+    # derived fields + lateral diffusivities + GM eddy transport
+    # (cmnfld2 / difest_lateral_hybrid / eddtra, mod_blom_step.F90:136-147)
+    if not par.vcoord_isopyc and par.difest is not None:
+        cf = cmnfld(grid, e, s, n)
+        dfl = difest_lateral(grid, s, cf, par.difest, dfl, m, n)
+        if par.difest.egc > 0.:
+            dfl = eddtra(grid, s, cf, dfl, m, n, delt1)
 
     # advection (mod_blom_step.F90:148)
     s = advect(grid, s, dfl, coeffs_i, coeffs_j, m, n, delt1, dlt)
@@ -99,8 +110,10 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     # pre-barotropic mass-flux correction (mod_blom_step.F90:150)
     s = pbcor1(grid, s, m, n, dlt)
 
-    # isopycnal diffusion (mod_blom_step.F90:152): zero diffusivity in
-    # the fuk95 deck; TODO wire diffus once difest lands.
+    # isopycnal diffusion (mod_blom_step.F90:152)
+    if not par.vcoord_isopyc and par.difest is not None \
+            and (par.difest.egc > 0. or par.difest.egmndf > 0.):
+        s = diffus(grid, e, s, dfl, m, n, delt1)
 
     # wind stress dispatch (sfcstr, mod_blom_step.F90:163) is carried by
     # `forcing`.
@@ -137,7 +150,7 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     # leap-frog time smoothing (mod_blom_step.F90:227)
     s = tmsmt2(grid, s, m, n, par.vcoord_isopyc)
 
-    return s
+    return s, dfl
 
 
 def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
@@ -148,12 +161,13 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
     parities).  First step of the pair uses (m, n) = (0, 1) — the parity
     of the very first model step (nstep_pre = 0)."""
 
-    def two_step(s: State, delt1_pair):
+    def two_step(carry, delt1_pair):
+        s, dfl_c = carry
         d1, d2 = delt1_pair
-        s = blom_step(grid, e, par, coeffs_i, coeffs_j, s, forcing, dfl,
-                      0, 1, d1, swabs)
-        s = blom_step(grid, e, par, coeffs_i, coeffs_j, s, forcing, dfl,
-                      1, 0, d2, swabs)
-        return s, None
+        s, dfl_c = blom_step(grid, e, par, coeffs_i, coeffs_j, s, forcing,
+                             dfl_c, 0, 1, d1, swabs)
+        s, dfl_c = blom_step(grid, e, par, coeffs_i, coeffs_j, s, forcing,
+                             dfl_c, 1, 0, d2, swabs)
+        return (s, dfl_c), None
 
     return two_step

@@ -20,19 +20,20 @@ from blom_tpu.parallel import mesh as pmesh
 def test_single_vs_8device_mesh():
     model = standalone.build_fuk95(itdm=64, jtdm=32, kdm=6)
 
-    def steps(grid, ci, cj, s, forcing, dfl):
+    def steps(grid, ci, cj, s, forcing, dfl, swabs):
         d = jnp.asarray(model.par.baclin, s.pb.dtype)
-        s = blom_step(grid, model.e, model.par, ci, cj, s, forcing, dfl,
-                      0, 1, d)
-        s = blom_step(grid, model.e, model.par, ci, cj, s, forcing, dfl,
-                      1, 0, 2 * d)
-        s = blom_step(grid, model.e, model.par, ci, cj, s, forcing, dfl,
-                      0, 1, 2 * d)
+        s, dfl = blom_step(grid, model.e, model.par, ci, cj, s, forcing,
+                           dfl, 0, 1, d, swabs)
+        s, dfl = blom_step(grid, model.e, model.par, ci, cj, s, forcing,
+                           dfl, 1, 0, 2 * d, swabs)
+        s, dfl = blom_step(grid, model.e, model.par, ci, cj, s, forcing,
+                           dfl, 0, 1, 2 * d, swabs)
         return s
 
     # single device
     out1 = jax.jit(steps)(model.grid, model.coeffs_i, model.coeffs_j,
-                          model.state, model.forcing, model.dfl)
+                          model.state, model.forcing, model.dfl,
+                          model.swabs)
 
     # 8-device ('y','x') mesh
     mesh = pmesh.make_mesh(jax.devices()[:8])
@@ -42,7 +43,9 @@ def test_single_vs_8device_mesh():
     dfl_s = pmesh.shard_pytree(model.dfl, mesh)
     ci_s = pmesh.shard_pytree(model.coeffs_i, mesh)
     cj_s = pmesh.shard_pytree(model.coeffs_j, mesh, transposed=True)
-    out8 = jax.jit(steps)(grid_s, ci_s, cj_s, state_s, forcing_s, dfl_s)
+    swabs_s = pmesh.shard_pytree(model.swabs, mesh)
+    out8 = jax.jit(steps)(grid_s, ci_s, cj_s, state_s, forcing_s, dfl_s,
+                          swabs_s)
 
     # tolerance: XLA refuses/reorders float ops differently for the
     # sharded program, so agreement is to f64 roundoff (~1e-11 relative),
