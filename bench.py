@@ -42,15 +42,16 @@ def main():
     def pairs(n):
         return (jnp.full((n,), d2), jnp.full((n,), d2))
 
-    s = model.state
-    # warmup / compile
-    s, _ = run_pairs(s, pairs(1))
-    jax.block_until_ready(s.dp)
-
     npairs = 10
+    # warmup / compile with the SAME trip count (a different scan length
+    # is a different XLA program)
+    carry = (model.state, model.dfl)
+    carry, _ = run_pairs(carry, pairs(npairs))
+    jax.block_until_ready(carry[0].dp)
+
     t0 = time.perf_counter()
-    s, _ = run_pairs(s, pairs(npairs))
-    jax.block_until_ready(s.dp)
+    carry, _ = run_pairs(carry, pairs(npairs))
+    jax.block_until_ready(carry[0].dp)
     wall = time.perf_counter() - t0
 
     nsteps = 2 * npairs

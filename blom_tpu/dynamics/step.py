@@ -27,6 +27,7 @@ from ..core.grid import Grid
 from ..core.state import State
 from ..phys.forcing import Forcing
 from ..phys.swabs import SwabsFields
+from ..phys.thermf import ThermfParams, thermf_relax
 from ..phys.vmix import VmixParams, difest_vertical
 from .advect import advect
 from .ale import AleParams, ale_regrid_remap
@@ -58,6 +59,7 @@ class StepParams(NamedTuple):
     itriag: int = -1          # index of the ideal-age tracer, -1 = none
     nday_in_year: float = 360.
     difest: Optional[DifestParams] = DifestParams()
+    thermf: Optional[ThermfParams] = ThermfParams()
 
 
 def init_fluxes(s: State, m: int) -> State:
@@ -125,8 +127,14 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     s, utotn, vtotn = momtum(grid, s, forcing, par.momtum, dfl.difwgt,
                              m, n, delt1, dlt, par.vcoord_isopyc)
 
-    # TODO: convec/diapfl/mxlayr (isopycnic path), thermf dispatch
-    # (mod_blom_step.F90:174-195).
+    # TODO: convec/diapfl/mxlayr (isopycnic path, mod_blom_step.F90:174-186).
+
+    # surface thermodynamics: restoring fluxes (thermf,
+    # mod_blom_step.F90:188-189)
+    if par.thermf is not None and (par.thermf.trxday > 0.
+                                   or par.thermf.srxday > 0.):
+        forcing = thermf_relax(grid, s, forcing, par.thermf, n,
+                               forcing.sstclm, forcing.sssclm)
 
     # tracer source/sink update (updtrc, mod_blom_step.F90:209-213)
     if par.itriag >= 0:

@@ -29,6 +29,9 @@ class Forcing:
     brnflx: jax.Array    # brine flux [g m-2 s-1]
     surrlx: jax.Array    # heat-flux relaxation [W m-2]
     salrlx: jax.Array    # salt-flux relaxation [g m-2 s-1]
+    # SST/SSS climatologies for restoring (mod_forcing.F90 sstclm/sssclm)
+    sstclm: jax.Array
+    sssclm: jax.Array
     # KPP nonlocal momentum-flux profile at u/v points, (kk+1, jdm, idm);
     # used to distribute wind stress over the boundary layer in the ALE
     # path (mod_momtum.F90:938-945 uses mu_nonloc differences).
@@ -47,4 +50,5 @@ def zero_forcing(kk: int, shape, dtype=jnp.float64) -> Forcing:
     mu = zk.at[0].set(1.0)
     return Forcing(taux=z2, tauy=z2, surflx=z2, sswflx=z2, salflx=z2,
                    brnflx=z2, surrlx=z2, salrlx=z2,
+                   sstclm=z2, sssclm=z2,
                    mu_nonloc=mu, mv_nonloc=mu)
