@@ -124,3 +124,48 @@ def initial_profiles(itdm=ITDM, jtdm=JTDM, kdm=KDM):
     sigmar = sigref[:, None, None] * np.ones((kk, jtdm, itdm))
     phi = -c.grav * z
     return z, sigma, saln, sigmar, phi
+
+
+mltmin = 5.   # minimum mixed layer thickness [m] (mod_mxlayr.F90:73)
+
+
+def initial_profiles_isopyc(itdm=ITDM, jtdm=JTDM, kdm=KDM):
+    """Initial state for the isopyc_bulkml vertical coordinate
+    (inicon_fuk95 first branch, mod_fuk95.F90:281-350): bulk mixed layer
+    at the minimum thickness, isopycnic layer interfaces placed where the
+    jet's density profile crosses the reference-density midpoints.
+
+    Returns (z, sigma, saln, sigmar, phi)."""
+    kk = kdm
+    drhojet = rhoc * f * u0 * l0 / (c.grav * h1)
+    dsig = (drho + drhojet) / (kk - 4)
+    sigref = np.zeros(kk)
+    sigref[kk - 1] = rhob - c.rho0
+    sigref[kk - 2] = rhoc + .5 * (drho + drhojet) - c.rho0
+    for k in range(kk - 3, -1, -1):
+        sigref[k] = sigref[k + 1] - dsig
+
+    iidx = np.arange(1, itdm + 1)[None, :] * np.ones((jtdm, 1))
+    jidx = np.arange(1, jtdm + 1)[:, None] * np.ones((1, itdm))
+    x = _x_nudge(iidx, jidx, itdm, jtdm)
+    sigm = rhoc * (1. + f * u0 * _x_psi(x) / (c.grav * h1)) - c.rho0
+
+    z = np.zeros((kk + 1, jtdm, itdm))
+    z[1] = .5 * mltmin
+    z[2] = mltmin
+    z[kk - 1] = h1
+    z[kk] = h0
+    for k in range(3, kk - 1):          # 0-based interfaces 3..kk-2
+        sigi = .5 * (sigref[k - 1] + sigref[k])
+        zk = ((sigi - sigm) / drho + .5) * h1
+        z[k] = np.minimum(z[kk - 1] - mindz * (kk - 1 - k),
+                          np.maximum(z[2], zk))
+
+    sigma = sigref[:, None, None] * np.ones((kk, jtdm, itdm))
+    sigma[0] = sigm + .5 * drho * (z[1] + z[0] - h1) / h1
+    sigma[1] = sigm + .5 * drho * (z[2] + z[1] - h1) / h1
+
+    saln = np.full((kk, jtdm, itdm), saln0)
+    sigmar = sigref[:, None, None] * np.ones((kk, jtdm, itdm))
+    phi = -c.grav * z
+    return z, sigma, saln, sigmar, phi

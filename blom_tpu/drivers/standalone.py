@@ -40,7 +40,7 @@ class Model:
 
 
 def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
-                use_idlage=False) -> Model:
+                use_idlage=False, vcoord='cntiso_hybrid') -> Model:
     """Assemble the fuk95 experiment (tests/fuk95/limits deck values)."""
     from ..configs import fuk95 as cfg
 
@@ -54,7 +54,11 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
     grid = cfg.make_grid(baclin, itdm, jtdm, kdm, dtype=dtype)
     e = eos.init_eos(pref=0., expcnf='fuk95')
 
-    z, sigma, saln, sigmar, phi = cfg.initial_profiles(itdm, jtdm, kdm)
+    if vcoord == 'isopyc_bulkml':
+        z, sigma, saln, sigmar, phi = cfg.initial_profiles_isopyc(
+            itdm, jtdm, kdm)
+    else:
+        z, sigma, saln, sigmar, phi = cfg.initial_profiles(itdm, jtdm, kdm)
     temp = np.asarray(eos.tofsig(e, sigma, saln))
 
     ntr = 1 if use_idlage else 0
@@ -68,8 +72,9 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
         momtum=MomtumParams(vsc2hi=.2, vsc2lo=.2, cbar=.05, cb=.002,
                             mommth='enscon'),
         barotp=BarotpParams(cwbdts=0., cwbdls=25., mommth='enscon'),
-        pgfmth='dynamic enthalpy', vcoord_isopyc=False,
-        ale=make_ale_params(kdm),
+        pgfmth='dynamic enthalpy',
+        vcoord_isopyc=(vcoord == 'isopyc_bulkml'),
+        ale=None if vcoord == 'isopyc_bulkml' else make_ale_params(kdm),
         itriag=0 if use_idlage else -1)
 
     coeffs_i = cppm_mod.init_cppm_coeffs(

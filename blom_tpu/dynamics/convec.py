@@ -1,0 +1,169 @@
+"""Convective adjustment (isopycnic bulk-mixed-layer regime).
+
+TPU-native re-design of the reference convective adjustment
+(reference: /root/reference/phy/mod_convec.F90:43-449 convec): remove
+static instabilities between the lower mixed layer (layer 2) and the
+interior isopycnic layers by mixing the mixed layer downward while the
+in-situ density jump across the mixed-layer base is unstable, then
+re-assigning the first physical layer index kfpla so the mixed water
+sits in its density class.
+
+The reference's converge-until-done outer loop (:197-205) becomes a
+fixed number of passes (instabilities are eliminated monotonically; two
+passes suffice for any state reachable in one step), and its per-column
+while-loops become k-scans with masks.  The kfplo history-merge special
+case (:108-186) is simplified to the leading-thin-layer collapse — the
+consequence is only a different (still valid) initial layer for the
+merge, documented here for the parity pass."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import eos
+from ..core.constants import epsilp
+from ..core.grid import Grid
+from ..core.state import State
+
+N_PASSES = 2
+
+
+def _collapse_thin(delp, kidx):
+    """Collapse the leading run of thin interior layers (k >= 2, 0-based)
+    into the first thick one (mod_convec.F90:91-106).  Returns
+    (delp_new, kfpl) with kfpl 0-based."""
+    kk = delp.shape[0]
+
+    def scan(carry, xs):
+        dps, kf, found = carry
+        dp_k, k_i = xs
+        interior = k_i >= 2
+        thin = (dp_k < epsilp) & interior
+        take = (~found) & thin
+        dps2 = dps + jnp.where(take, dp_k, 0.)
+        add_here = (~found) & (~thin) & interior
+        dp_out = jnp.where(take, 0., dp_k) + jnp.where(add_here, dps2, 0.)
+        dps3 = jnp.where(add_here, 0., dps2)
+        found2 = found | add_here
+        kf2 = jnp.where(add_here & (kf < 0), k_i, kf)
+        return (dps3, kf2, found2), dp_out
+
+    H = delp.shape[1:]
+    init = (jnp.zeros(H, delp.dtype), jnp.full(H, -1, jnp.int32),
+            jnp.zeros(H, bool))
+    (dps, kf, found), delp_new = lax.scan(
+        scan, init, (delp, jnp.arange(kk, dtype=jnp.int32)))
+    # leftover (everything thin): add to layer 1 (0-based) as in the
+    # reference's k > kk branch
+    delp_new = delp_new.at[1].add(jnp.where(found, 0., dps))
+    kfpl = jnp.where(found, kf, kk)
+    return delp_new, kfpl
+
+
+def convec(grid: Grid, e: eos.EosParams, s: State, m: int, n: int) -> State:
+    kk = grid.kk
+    ip = grid.ip
+    kidx = jnp.arange(kk, dtype=jnp.int32).reshape(
+        (kk,) + (1,) * len(grid.shape))
+
+    ttem = s.temp[n]
+    ssal = s.saln[n]
+    delp = s.dp[n]
+    densr = s.sigmar
+    ntr = s.trc.shape[1]
+    ttrc = s.trc[n]
+
+    delp, kfpl = _collapse_thin(delp, kidx)
+
+    for _ in range(N_PASSES):
+        # ---- mixing extent scan (mod_convec.F90:207-246): accumulate
+        # layers downward from kfpl while the density jump at the current
+        # accumulated mass is unstable.
+        T2, S2 = ttem[1], ssal[1]
+        acc0 = (T2 * delp[1], S2 * delp[1], delp[1], T2, S2,
+                jnp.ones(grid.shape, bool))
+
+        def mix_scan(carry, xs):
+            tdps, sdps, dps, tmix, smix, mixing = carry
+            t_k, s_k, dp_k, k_i = xs
+            at_depth = k_i >= kfpl
+            unstable = (eos.rho(dps, tmix, smix)
+                        > eos.rho(dps, t_k, s_k)) | (dp_k < epsilp)
+            absorb = mixing & at_depth & unstable
+            tdps2 = tdps + jnp.where(absorb, t_k * dp_k, 0.)
+            sdps2 = sdps + jnp.where(absorb, s_k * dp_k, 0.)
+            dps2 = dps + jnp.where(absorb, dp_k, 0.)
+            q = 1.0 / jnp.maximum(dps2, epsilp)
+            tmix2 = jnp.where(absorb, tdps2 * q, tmix)
+            smix2 = jnp.where(absorb, sdps2 * q, smix)
+            mixing2 = mixing & jnp.where(at_depth, absorb, True)
+            return (tdps2, sdps2, dps2, tmix2, smix2, mixing2), absorb
+
+        (tdps, sdps, dps, tmix, smix, _), absorbed = lax.scan(
+            mix_scan, acc0, (ttem, ssal, delp, kidx))
+
+        any_mix = jnp.any(absorbed, axis=0)
+        kmix = jnp.max(jnp.where(absorbed, kidx, -1), axis=0)
+
+        dens_mix = eos.sig(e, tmix, smix)
+
+        # new kfpl: smallest k in [2, kmix] with dens_mix >= densr(k),
+        # scanned downward from kmix (mod_convec.F90:252-262: step up
+        # while dens(2) < densr(k))
+        ok_class = (dens_mix[None] >= densr) & (kidx >= 2) & (kidx <= kmix)
+        # kfpl_new = last k with densr <= dens_mix (deepest fitting), or 2
+        kfpl_new = jnp.maximum(jnp.max(jnp.where(ok_class, kidx, 2 - 1),
+                                       axis=0), 2).astype(jnp.int32)
+        kfpl_new = jnp.minimum(kfpl_new, jnp.maximum(kmix, 2))
+
+        # mass absorbed from the interior
+        dps_int = jnp.sum(jnp.where(absorbed & (kidx >= 2), delp, 0.),
+                          axis=0)
+
+        # apply updates where mixing happened
+        upd = any_mix & (kmix >= kfpl)
+        T2n = jnp.where(upd, tmix, T2)
+        S2n = jnp.where(upd, smix, S2)
+
+        zero_zone = absorbed & (kidx >= 2)
+        at_kfpl = kidx == kfpl_new[None]
+        between = (kidx > kfpl_new[None]) & (kidx <= kmix[None])
+
+        if ntr:
+            # mixed tracer value over ML + absorbed layers (pre-update dp)
+            trmix = (jnp.sum(jnp.where(zero_zone[None],
+                                       ttrc * delp[None], 0.), axis=1)
+                     + ttrc[:, 1] * delp[1][None]) \
+                / jnp.maximum(dps, epsilp)[None]
+            place = (at_kfpl | between)[None] & upd[None, None]
+            ttrc = jnp.where(place, trmix[:, None], ttrc)
+            ttrc = ttrc.at[:, 1].set(
+                jnp.where(upd[None], trmix, ttrc[:, 1]))
+
+        delp = jnp.where(upd[None] & zero_zone, 0., delp)
+        delp = jnp.where(upd[None] & at_kfpl, dps_int[None], delp)
+        ttem = jnp.where(upd[None] & (at_kfpl | between), T2n[None], ttem)
+        # layers between kfpl and kmix take their reference density class
+        # (mod_convec.F90:264-268): T from the ML, S from sofsig
+        ssal_b = eos.sofsig(e, densr, T2n[None])
+        ssal = jnp.where(upd[None] & at_kfpl, S2n[None],
+                         jnp.where(upd[None] & between, ssal_b, ssal))
+        ttem = ttem.at[1].set(T2n)
+        ssal = ssal.at[1].set(S2n)
+        kfpl = jnp.where(upd, kfpl_new, kfpl)
+
+    sigma_new = eos.sig(e, ttem, ssal) * ip
+
+    s = dataclasses.replace(
+        s,
+        temp=s.temp.at[n].set(ttem * ip),
+        saln=s.saln.at[n].set(ssal * ip),
+        dp=s.dp.at[n].set(delp * ip),
+        sigma=s.sigma.at[n].set(sigma_new),
+        kfpla=s.kfpla.at[n].set(kfpl))
+    if ntr:
+        s = dataclasses.replace(s, trc=s.trc.at[n].set(ttrc))
+    return s

@@ -33,6 +33,9 @@ from .advect import advect
 from .ale import AleParams, ale_regrid_remap
 from .ale_vdiff import ale_vdifft, ale_vdiffm
 from .cmnfld import cmnfld
+from .convec import convec
+from .diapfl import diapfl
+from .mxlayr import MxlayrParams, mxlayr
 from .difest import DifestParams, difest_lateral
 from .diffus import diffus
 from .eddtra import eddtra
@@ -60,6 +63,7 @@ class StepParams(NamedTuple):
     nday_in_year: float = 360.
     difest: Optional[DifestParams] = DifestParams()
     thermf: Optional[ThermfParams] = ThermfParams()
+    mxlayr: MxlayrParams = MxlayrParams()
 
 
 def init_fluxes(s: State, m: int) -> State:
@@ -127,7 +131,13 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     s, utotn, vtotn = momtum(grid, s, forcing, par.momtum, dfl.difwgt,
                              m, n, delt1, dlt, par.vcoord_isopyc)
 
-    # TODO: convec/diapfl/mxlayr (isopycnic path, mod_blom_step.F90:174-186).
+    # isopycnic path: convective adjustment + diapycnal mixing
+    # (mod_blom_step.F90:174-186)
+    if par.vcoord_isopyc:
+        s = convec(grid, e, s, m, n)
+        if par.vmix is not None and swabs is not None:
+            vf = difest_vertical(grid, e, s, forcing, swabs, par.vmix, n)
+            s = diapfl(grid, e, s, vf.Kdiff_t, m, n, delt1)
 
     # surface thermodynamics: restoring fluxes (thermf,
     # mod_blom_step.F90:188-189)
@@ -141,10 +151,13 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
         from ..tracers.idlage import idlage_step
         s = idlage_step(s, par.itriag, n, delt1, par.nday_in_year)
 
-    # ALE-path vertical physics (mod_blom_step.F90:196-207):
-    # cmnfld_bfsqi_ale + ale_forcing + difest_vertical_hybrid are fused
-    # in difest_vertical; then implicit vertical diffusion.
-    if not par.vcoord_isopyc and par.vmix is not None and swabs is not None:
+    if par.vcoord_isopyc:
+        # bulk mixed layer (mxlayr, mod_blom_step.F90:191-193)
+        s = mxlayr(grid, e, s, forcing, par.mxlayr, m, n, delt1)
+    elif par.vmix is not None and swabs is not None:
+        # ALE-path vertical physics (mod_blom_step.F90:196-207):
+        # cmnfld_bfsqi_ale + ale_forcing + difest_vertical_hybrid are
+        # fused in difest_vertical; then implicit vertical diffusion.
         vf = difest_vertical(grid, e, s, forcing, swabs, par.vmix, n)
         s = ale_vdifft(grid, e, s, forcing, vf, m, n, delt1)
         s = ale_vdiffm(grid, s, vf, m, n, delt1)

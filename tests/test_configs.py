@@ -46,3 +46,33 @@ def test_channel_spinup():
     # wind stress must accelerate a zonal current
     assert np.abs(np.asarray(s.u[1]) + np.asarray(s.ub[1])[None]).max() > 1e-4
     assert np.abs(np.asarray(s.u)).max() < 2.0
+
+
+def test_fuk95_isopyc_bulkml():
+    # the isopycnic bulk-mixed-layer vertical coordinate (the reference's
+    # historical default regime): convec + diapfl + mxlayr path
+    model = standalone.build_fuk95(vcoord='isopyc_bulkml',
+                                   itdm=64, jtdm=16, kdm=12)
+    g = model.grid
+    ip = np.asarray(g.ip)
+    mass0 = float((np.asarray(model.state.dp[1]).sum(0)
+                   * np.asarray(g.scp2) * ip).sum())
+    s, _ = standalone.run(model, 30)
+    for f in ('dp', 'temp', 'saln', 'u', 'v', 'pb'):
+        assert np.isfinite(np.asarray(getattr(s, f))).all(), f
+    mass = float((np.asarray(s.dp[1]).sum(0) * np.asarray(g.scp2) * ip).sum())
+    assert abs(mass - mass0) / mass0 < 1e-9
+    # mixed layer stays near the minimum thickness (no forcing)
+    dp1 = np.asarray(s.dp[1])
+    ml = (dp1[0] + dp1[1])[ip > 0] / 9806.
+    assert ml.min() > 2. and ml.max() < 12.
+    # substantial interior layers stay close to their reference
+    # densities (thin outcropping layers at the front drift more, since
+    # the diapycnal mass-restoration part of diapfl is a later round)
+    sig = np.asarray(s.sigma[1])
+    sigr = np.asarray(s.sigmar)
+    dpw = np.asarray(s.dp[1])
+    thick = dpw > 9806. * 2.
+    interior = thick & (np.arange(12)[:, None, None] >= 3) & (ip[None] > 0)
+    assert interior.any()
+    assert np.abs((sig - sigr)[interior]).max() < .05
