@@ -73,19 +73,25 @@ def make_ale_params(kk: int, dpmin_surface_m: float = 1.5,
 
 
 def _sigma_at(p_src, sig_up, sig_lo, pq):
-    """Linear-in-layer interface density at pressure pq (mask-sum over
-    containing layers; regrid nudge's sig_pmin interpolation,
+    """Linear-in-layer interface density at pressure pq (scan over
+    source layers; regrid nudge's sig_pmin interpolation,
     mod_ale_regrid_remap.F90:643-651)."""
     dp = p_src[1:] - p_src[:-1]
     dpi = 1.0 / jnp.maximum(dp, epsilp)
-    inl = (pq[:, None] >= p_src[None, :-1]) & (pq[:, None] < p_src[None, 1:])
-    w = jnp.clip((pq[:, None] - p_src[None, :-1]) * dpi[None], 0., 1.)
-    val = (1. - w) * sig_up[None] + w * sig_lo[None]
-    first = jnp.cumsum(inl.astype(jnp.int32), axis=1) == 1
-    got = jnp.sum(jnp.where(first & inl, val, 0.), axis=1)
-    has = jnp.any(first & inl, axis=1)
+
+    def body(carry, xs):
+        got, found = carry
+        p_up, dp_k, dpi_k, su, sl = xs
+        inl = (pq >= p_up[None]) & (pq < (p_up + dp_k)[None]) & (~found)
+        w = jnp.clip((pq - p_up[None]) * dpi_k[None], 0., 1.)
+        got = jnp.where(inl, (1. - w) * su[None] + w * sl[None], got)
+        return (got, found | inl), None
+
+    init = (jnp.zeros(pq.shape, pq.dtype), jnp.zeros(pq.shape, bool))
+    (got, found), _ = lax.scan(body, init,
+                               (p_src[:-1], dp, dpi, sig_up, sig_lo))
     # below the column: use the deepest lower-interface value
-    return jnp.where(has, got, sig_lo[-1])
+    return jnp.where(found, got, sig_lo[-1])
 
 
 def regrid_nudge(grid: Grid, e: eos.EosParams, ale: AleParams,

@@ -238,35 +238,58 @@ def integrate_to(rc: Recon, pq):
     """I(pq) = integral of the reconstruction from the column top to
     position pq; pq: (nq, ...) broadcastable against rc arrays.
 
-    Mask-sum formulation: for each source layer, add the clipped partial
-    integral — O(kk*nq) elementwise, no gathers."""
+    Scan over source layers accumulating clipped partial integrals:
+    O(kk*nq) elementwise work with only (nq, H) live temporaries (a dense
+    (nq, kk, H) formulation would materialize GBs at production sizes)."""
+    import jax
+
     dx = jnp.maximum(rc.p[1:] - rc.p[:-1], 0.)            # (kk, ...)
     dxi = 1.0 / jnp.maximum(dx, heps)
-    # partial fraction of each layer below pq: (nq, kk, ...)
-    x = jnp.clip((pq[:, None] - rc.p[None, :-1]) * dxi[None], 0., 1.)
-    part = dx[None] * (rc.c0[None] * x + .5 * rc.c1[None] * x * x
-                       + (1. / 3.) * rc.c2[None] * x * x * x)
-    return jnp.sum(part, axis=1)
+
+    def body(acc, xs):
+        p_up, dxk, dxik, c0, c1, c2 = xs
+        x = jnp.clip((pq - p_up[None]) * dxik[None], 0., 1.)
+        acc = acc + dxk[None] * (c0[None] * x + .5 * c1[None] * x * x
+                                 + (1. / 3.) * c2[None] * x * x * x)
+        return acc, None
+
+    acc0 = jnp.zeros(pq.shape, pq.dtype)
+    acc, _ = jax.lax.scan(body, acc0,
+                          (rc.p[:-1], dx, dxi, rc.c0, rc.c1, rc.c2))
+    return acc
 
 
 def remap_means(rc: Recon, p_dst):
     """Destination layer means: (I(p_dst[k+1]) - I(p_dst[k])) / dp_dst
     (the reference's remap, piecewise integration).  Zero-thickness
-    destination layers get the point value of the reconstruction."""
-    I = integrate_to(rc, p_dst)
+    destination layers get the point value of the reconstruction,
+    gathered in the same source-layer scan."""
+    import jax
+
+    dx = jnp.maximum(rc.p[1:] - rc.p[:-1], 0.)
+    dxi = 1.0 / jnp.maximum(dx, heps)
+    pq = p_dst
+
+    def body(carry, xs):
+        acc, point, found = carry
+        p_up, dxk, dxik, c0, c1, c2 = xs
+        x = jnp.clip((pq - p_up[None]) * dxik[None], 0., 1.)
+        acc = acc + dxk[None] * (c0[None] * x + .5 * c1[None] * x * x
+                                 + (1. / 3.) * c2[None] * x * x * x)
+        # point value at pq where it falls inside this (nonempty) layer
+        inl = (pq >= p_up[None]) & (pq <= (p_up + dxk)[None]) \
+            & (dxk[None] > heps) & (~found)
+        fval = c0[None] + c1[None] * x + c2[None] * x * x
+        point = jnp.where(inl, fval, point)
+        found = found | inl
+        return (acc, point, found), None
+
+    acc0 = jnp.zeros(pq.shape, pq.dtype)
+    (I, point, found), _ = jax.lax.scan(
+        body, (acc0, acc0, jnp.zeros(pq.shape, bool)),
+        (rc.p[:-1], dx, dxi, rc.c0, rc.c1, rc.c2))
+
     dpd = p_dst[1:] - p_dst[:-1]
     means = (I[1:] - I[:-1]) / jnp.maximum(dpd, heps)
-    # fallback point value for empty layers: evaluate at the layer position
-    dx = jnp.maximum(rc.p[1:] - rc.p[:-1], 0.) + heps
-    xmid = jnp.clip((p_dst[:-1][:, None] - rc.p[None, :-1]) / dx[None],
-                    0., 1.)
-    inlayer = (xmid > 0.) & (xmid < 1.) | \
-        ((p_dst[:-1][:, None] >= rc.p[None, :-1])
-         & (p_dst[:-1][:, None] <= rc.p[None, 1:]))
-    fval = rc.c0[None] + rc.c1[None] * xmid + rc.c2[None] * xmid * xmid
-    # pick the shallowest containing layer's value
-    first = jnp.cumsum(inlayer.astype(jnp.int32), axis=1) == 1
-    point = jnp.sum(jnp.where(first & inlayer, fval, 0.), axis=1)
-    has = jnp.any(first & inlayer, axis=1)
-    point = jnp.where(has, point, means)
-    return jnp.where(dpd > heps, means, point)
+    point_l = jnp.where(found[:-1], point[:-1], means)
+    return jnp.where(dpd > heps, means, point_l)
