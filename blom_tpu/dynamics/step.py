@@ -38,6 +38,7 @@ from .diapfl import diapfl
 from .mxlayr import MxlayrParams, mxlayr
 from .difest import DifestParams, difest_lateral
 from .diffus import diffus
+from .ndiff import ndiff
 from .eddtra import eddtra
 from .barotp import BarotpParams, barotp
 from .cppm import CppmCoeffs
@@ -64,6 +65,7 @@ class StepParams(NamedTuple):
     difest: Optional[DifestParams] = DifestParams()
     thermf: Optional[ThermfParams] = ThermfParams()
     mxlayr: MxlayrParams = MxlayrParams()
+    ltedtp: str = 'layer'     # 'layer' | 'neutral' (mod_diffusion.F90:99)
 
 
 def init_fluxes(s: State, m: int) -> State:
@@ -116,10 +118,17 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     # pre-barotropic mass-flux correction (mod_blom_step.F90:150)
     s = pbcor1(grid, s, m, n, dlt)
 
-    # isopycnal diffusion (mod_blom_step.F90:152)
+    # lateral tracer diffusion: along-layer (mod_blom_step.F90:152
+    # diffus) or along neutral surfaces (ltedtp 'neutral', the
+    # reference routes this through the ale_regrid_remap jslice
+    # pipeline, mod_ale_regrid_remap.F90:1643-1670)
     if not par.vcoord_isopyc and par.difest is not None \
             and (par.difest.egc > 0. or par.difest.egmndf > 0.):
-        s = diffus(grid, e, s, dfl, m, n, delt1)
+        if par.ltedtp == 'neutral':
+            from ..core.constants import onem
+            s = ndiff(grid, e, s, dfl, m, n, delt1, cf.mld * onem)
+        else:
+            s = diffus(grid, e, s, dfl, m, n, delt1)
 
     # wind stress dispatch (sfcstr, mod_blom_step.F90:163) is carried by
     # `forcing`.
