@@ -1,0 +1,107 @@
+"""Particle sinking of detritus, calcite, opal and dust.
+
+TPU-native counterpart of the reference scheme
+(/root/reference/hamocc/mo_vertical_fluxes.F90:47-537 sinking +
+get_ws).  The reference's per-column sequential implicit-upstream
+update with a running donor layer becomes a `lax.scan` over K carrying
+(donor concentration, donor speed) for the four sinking tracers; the
+per-column mass-conservation normalization (tco/tcn ratio) and the
+sediment-bypass redistribution of bottom fluxes are dense reductions.
+
+Layers thinner than dp_min_sink mirror the donor concentration and do
+not advance the donor (mo_vertical_fluxes.F90:196-210); the bottom
+flux leaves from the last thick layer at that layer's sinking speed
+(the reference evaluates get_ws at k=kpke for the bottom flux; using
+the donor layer's own speed is equivalent for conservation since the
+same speed enters both the budget and the flux).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from .params import BgcParams, BgcTracers as T
+
+SINKERS = (T.det, T.calc, T.opal, T.fdust)
+
+
+def sink_speeds(ptiestu, dtb, p: BgcParams):
+    """Sinking speeds [m/timestep] at layer centres (get_ws,
+    mo_vertical_fluxes.F90:47-75; WLIN branch = depth-linear POC)."""
+    if p.use_wlin:
+        wpoc = jnp.minimum(p.wmin + p.wlin * ptiestu, p.wmax) * dtb
+    else:
+        wpoc = jnp.full_like(ptiestu, p.wpoc_const) * dtb
+    wcal = jnp.full_like(ptiestu, p.wcal_const) * dtb
+    wopal = jnp.full_like(ptiestu, p.wopal_const) * dtb
+    wdust = jnp.full_like(ptiestu, p.wdust_const) * dtb
+    return jnp.stack([wpoc, wcal, wopal, wdust])
+
+
+def sinking(oc, dz, ptiestu, omask, dtb, p: BgcParams):
+    """Advance sinking for one timestep.  Returns (oc, bottom_fluxes)
+    where bottom_fluxes is a dict of prorca/prcaca/silpro/produs
+    [kmol m-2/timestep] (zeroed if redistributed by sedbypass)."""
+    w = sink_speeds(ptiestu, dtb, p)              # (4, K, J, I)
+    conc = oc[jnp.array(SINKERS)]                 # (4, K, J, I)
+    thick = dz > p.dp_min_sink                    # (K, J, I)
+    wet = dz > p.dp_min
+
+    # surface layer: no inflow; WLIN outflow speed clamps to wmin
+    # (mo_vertical_fluxes.F90:146-159)
+    if p.use_wlin:
+        w = w.at[0, 0].set(p.wmin * dtb)
+
+    tco = jnp.sum(jnp.where(wet[None], conc * dz[None], 0.), axis=1)
+
+    def body(carry, args):
+        dconc, dw = carry                         # donor conc/speed (4,J,I)
+        ck, dzk, wk, thickk, wetk = args
+        dzs = jnp.maximum(dzk, 1.e-12)
+        new_thick = (ck * dzk + dconc * dw) / (dzs + wk)
+        new = jnp.where(thickk[None], new_thick,
+                        jnp.where(wetk[None], dconc, ck))
+        dconc2 = jnp.where(thickk[None], new, dconc)
+        dw2 = jnp.where(thickk[None], wk, dw)
+        return (dconc2, dw2), new
+
+    zero = jnp.zeros_like(conc[:, 0])
+    (dconc, dw), new_conc = lax.scan(
+        body, (zero, zero), (conc.swapaxes(0, 1), dz, w.swapaxes(0, 1),
+                             thick, wet))
+    new_conc = new_conc.swapaxes(0, 1)            # (4, K, J, I)
+
+    bot = dconc * dw                              # bottom flux per tracer
+    tcn = (jnp.sum(jnp.where(wet[None], new_conc * dz[None], 0.), axis=1)
+           + bot)
+    q = jnp.where((tco > 1.e-12) & (tcn > 1.e-12), tco / tcn, 1.)
+    new_conc = jnp.where(wet[None], new_conc * q[:, None], new_conc)
+    bot = bot * q
+
+    prorca, prcaca, silpro, produs = bot * omask[None]
+
+    for i, idx in enumerate(SINKERS):
+        oc = oc.at[idx].set(jnp.where(omask > 0.5, new_conc[i], oc[idx]))
+
+    if p.sedbypass:
+        # redistribute bottom fluxes over the column; opal and CaCO3
+        # remineralize instantaneously (mo_vertical_fluxes.F90:472-534)
+        colz = jnp.maximum(jnp.sum(jnp.where(wet, dz, 0.), axis=0),
+                           1.e-12)
+        florca = jnp.where(wet, (prorca / colz)[None], 0.)
+        flcaca = jnp.where(wet, (prcaca / colz)[None], 0.)
+        flsil = jnp.where(wet, (silpro / colz)[None], 0.)
+        oc = oc.at[T.det].add(florca)
+        oc = oc.at[T.alkali].add(2. * flcaca)
+        oc = oc.at[T.sco212].add(flcaca)
+        oc = oc.at[T.silica].add(flsil)
+        z = jnp.zeros_like(prorca)
+        flx = {'prorca': z, 'prcaca': z, 'silpro': z, 'produs': produs,
+               'carflx_bot': prorca * p.rcar, 'calflx_bot': prcaca,
+               'bsiflx_bot': silpro}
+    else:
+        flx = {'prorca': prorca, 'prcaca': prcaca, 'silpro': silpro,
+               'produs': produs, 'carflx_bot': prorca * p.rcar,
+               'calflx_bot': prcaca, 'bsiflx_bot': silpro}
+    return oc, flx

@@ -1,0 +1,166 @@
+"""BGC step orchestration and BLOM<->BGC interface.
+
+TPU-native counterpart of the reference coupling chain
+(/root/reference/hamocc/mo_hamocc_step.F90:27-105 hamocc_step ->
+mo_hamocc4bcm.F90:28-410 hamocc4bcm, mo_intfcblom.F90 blom2hamocc /
+hamocc2blom, mo_vgrid.F90 set_vgrid, mo_trc_limitc.F90).
+
+The model state carries BGC tracers in BLOM per-mass units inside the
+generic trc block; each BGC step converts to concentrations [kmol/m3]
+via the in-situ density (trc * rho/rho0, bgc_rho of
+mo_intfcblom.F90:81-116), runs the process chain on dense (K, J, I)
+arrays, and converts back — so `ocetra * dz == trc * dp/onem` and BLOM
+mass advection conserves BGC inventories exactly.
+
+Process order (mo_hamocc4bcm.F90:229-346): ocprod -> sinking ->
+limitc -> cyano -> carchm -> dust deposition -> (sediment bypassed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import eos
+from ..core.constants import onem, rho0
+from ..core.grid import Grid
+from ..core.state import State
+from . import carchm as carchm_mod
+from . import processes, sinking as sinking_mod
+from .params import NBGC, BgcParams, BgcTracers as T
+
+
+class BgcForcing(NamedTuple):
+    """Surface fields the BGC needs beyond the physics forcing
+    (arguments of hamocc4bcm, mo_hamocc4bcm.F90:28-60)."""
+    swr: jax.Array     # surface shortwave [W m-2] (strahl)
+    fu10: jax.Array    # 10-m wind speed [m s-1] (pfu10)
+    slp: jax.Array     # sea-level pressure [Pa] (ppao)
+    fice: jax.Array    # sea-ice fraction (psicomo)
+    dustdep: jax.Array  # dust deposition [kg m-2/step] (dust input)
+
+
+def zero_bgc_forcing(shape, dtype=jnp.float64, swr=50., fu10=5.,
+                     slp=101325.) -> BgcForcing:
+    H = tuple(shape)
+    f = lambda v: jnp.full(H, v, dtype)
+    return BgcForcing(swr=f(swr), fu10=f(fu10), slp=f(slp),
+                      fice=jnp.zeros(H, dtype), dustdep=jnp.zeros(H, dtype))
+
+
+def init_bgc_tracers(s: State, itrbgc: int, e: eos.EosParams,
+                     n: int = 0) -> State:
+    """Initial BGC tracer values (profile-climatology path replaced by
+    the reference's constant fallbacks, mo_ini_fields.F90:196-236, plus
+    WOA-like uniform nutrient levels in BLOM per-mass units)."""
+    trc = s.trc
+    wet = (s.dp[n] > 0.).astype(trc.dtype)
+
+    def setc(idx, val):
+        nonlocal trc
+        trc = trc.at[:, itrbgc + idx].set(val * wet)
+
+    setc(T.sco212, 2.27e-3)      # ~mean ocean DIC [kmol/m3]
+    setc(T.alkali, 2.37e-3)
+    setc(T.phosph, 2.17e-6)
+    setc(T.oxygen, 2.2e-4)
+    setc(T.ano3, 31.e-6)
+    setc(T.silica, 90.e-6)
+    setc(T.gasnit, 1.e-10)
+    setc(T.doc, 1.e-8)
+    setc(T.phy, 1.e-8)
+    setc(T.zoo, 1.e-8)
+    setc(T.det, 1.e-8)
+    setc(T.calc, 0.)
+    setc(T.opal, 1.e-8)
+    setc(T.an2o, 0.)
+    setc(T.dms, 0.)
+    setc(T.fdust, 0.)
+    setc(T.iron, 0.6e-9)
+    setc(T.dicsat, 1.e-8)
+    setc(T.hi, 1.e-8)
+    return dataclasses.replace(s, trc=trc)
+
+
+def _vgrid(dz, dp_min_sink, dp_ez):
+    """Derived vertical-grid fields (set_vgrid, mo_vgrid.F90:80-200):
+    layer-centre depths, euphotic mask, bottom-layer index."""
+    ptiestw = jnp.concatenate(
+        [jnp.zeros_like(dz[:1]), jnp.cumsum(dz, axis=0)], axis=0)
+    ptiestu = ptiestw[:-1] + 0.5 * dz
+    euph = ptiestw[:-1] < dp_ez
+    kidx = jnp.arange(dz.shape[0])[:, None, None]
+    kbo = jnp.max(jnp.where(dz > dp_min_sink, kidx, 0), axis=0)
+    return ptiestu, euph, kbo
+
+
+def hamocc_step(grid: Grid, e: eos.EosParams, par: BgcParams,
+                s: State, f: BgcForcing, itrbgc: int, n: int, nn: int,
+                dtsec, kmle: Optional[jax.Array] = None):
+    """One BGC step on time level n (hamocc_step,
+    mo_hamocc_step.F90:27-105).  nn is unused (single-copy design);
+    kept for signature parity with the reference's 2-level copy."""
+    dtype = s.dp.dtype
+    dp = s.dp[n]
+    temp = s.temp[n]
+    saln = s.saln[n]
+
+    # --- blom2hamocc (mo_intfcblom.F90:81-136): in-situ density and
+    # geometric layer thickness
+    from ..core.state import cumulative_p
+    p_i = cumulative_p(dp)
+    pmid = p_i[:-1] + 0.5 * dp
+    rho = eos.rho(pmid, temp, saln) / rho0          # rho/rho0 == [g/cm3]
+    bgc_rho = rho
+    dz = dp / (onem * bgc_rho)                      # [m]
+    omask = grid.ip
+    lyr = (dp > par.dp_min * onem) & (omask > 0.5)
+    dz = jnp.where(lyr, dz, 0.)
+
+    oc = s.trc[n, itrbgc:itrbgc + NBGC] * bgc_rho[None]
+    oc = oc.at[T.hi].set(s.trc[n, itrbgc + T.hi])   # hi is not a conc.
+
+    ptiestu, euph, kbo = _vgrid(dz, par.dp_min_sink, par.dp_ez)
+    euph = euph & lyr
+    if kmle is None:
+        kmle = jnp.full(grid.shape, 1, jnp.int32)   # kmle_static = 2
+
+    dtb = dtsec / 86400.
+
+    # dust / iron deposition (mo_apply_fedep.F90: surface layer gets
+    # dust [kg] -> fdust [kg/m3] and soluble iron, 3.5% Fe, 1% soluble)
+    dz0 = jnp.maximum(dz[0], 1.e-12)
+    wet0 = lyr[0]
+    oc = oc.at[T.fdust, 0].add(jnp.where(wet0, f.dustdep / dz0, 0.))
+    oc = oc.at[T.iron, 0].add(
+        jnp.where(wet0, f.dustdep * 0.035 * 0.01 / 55.85 / dz0, 0.))
+
+    satoxy = carchm_mod.chem.sat_oxygen(temp, saln)
+    oc, prod_diags = processes.ocprod(oc, temp, dz, f.swr, satoxy, lyr,
+                                      dtb, par)
+    oc, bot_flx = sinking_mod.sinking(oc, dz, ptiestu, omask, dtb, par)
+
+    # trc_limitc (mo_trc_limitc.F90): clip small negatives on organics
+    for idx in (T.phy, T.zoo, T.det, T.doc, T.calc, T.opal, T.dms):
+        oc = oc.at[idx].set(jnp.maximum(oc[idx], 0.))
+
+    oc, intnfix = processes.cyano(oc, temp, dz, euph, dtb, par)
+    oc, satoxy, carb_diags = carchm_mod.carchm(
+        oc, temp, saln, rho, dz, ptiestu, lyr, kmle,
+        f.swr, f.fu10, f.slp, f.fice, dtsec, par)
+
+    # --- hamocc2blom (mo_intfcblom.F90:396-470): back to per-mass
+    trc_new = oc / bgc_rho[None]
+    trc_new = trc_new.at[T.hi].set(oc[T.hi])
+    trc = s.trc.at[n, itrbgc:itrbgc + NBGC].set(
+        jnp.where(lyr[None], trc_new, s.trc[n, itrbgc:itrbgc + NBGC]))
+    s = dataclasses.replace(s, trc=trc)
+
+    diags = dict(prod_diags)
+    diags.update(bot_flx)
+    diags.update(carb_diags)
+    diags['intnfix'] = intnfix
+    return s, diags

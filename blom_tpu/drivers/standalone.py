@@ -37,10 +37,17 @@ class Model:
     forcing: object
     dfl: object
     swabs: object
+    bgc_forcing: object = None
+
+
+def _bgc_params():
+    from ..bgc import BgcParams
+    return BgcParams()
 
 
 def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
-                use_idlage=False, vcoord='cntiso_hybrid') -> Model:
+                use_idlage=False, use_bgc=False,
+                vcoord='cntiso_hybrid') -> Model:
     """Assemble the fuk95 experiment (tests/fuk95/limits deck values)."""
     from ..configs import fuk95 as cfg
 
@@ -61,7 +68,13 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
         z, sigma, saln, sigmar, phi = cfg.initial_profiles(itdm, jtdm, kdm)
     temp = np.asarray(eos.tofsig(e, sigma, saln))
 
-    ntr = 1 if use_idlage else 0
+    niag = 1 if use_idlage else 0
+    itrbgc = niag if use_bgc else -1
+    if use_bgc:
+        from ..bgc import NBGC
+        ntr = niag + NBGC
+    else:
+        ntr = niag
     state = init.init_state(
         grid, e, phi=phi, temp=temp, saln=saln, sigmar=sigmar,
         delt1=baclin, dlt=clock.dlt, dtype=dtype, ntr=ntr)
@@ -75,7 +88,9 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
         pgfmth='dynamic enthalpy',
         vcoord_isopyc=(vcoord == 'isopyc_bulkml'),
         ale=None if vcoord == 'isopyc_bulkml' else make_ale_params(kdm),
-        itriag=0 if use_idlage else -1)
+        itriag=0 if use_idlage else -1,
+        itrbgc=itrbgc,
+        bgc=_bgc_params() if use_bgc else None)
 
     coeffs_i = cppm_mod.init_cppm_coeffs(
         np.asarray(grid.ip), np.asarray(grid.scpx), axis=-1,
@@ -88,9 +103,16 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
     dfl = zero_diffusion_fields(kdm, grid.shape, dtype)
     swabs = init_swabs(grid.shape, 'jerlov', 3, dtype)
 
+    bgc_forcing = None
+    if use_bgc:
+        from ..bgc.step import init_bgc_tracers, zero_bgc_forcing
+        state = init_bgc_tracers(state, itrbgc, e)
+        bgc_forcing = zero_bgc_forcing(grid.shape, dtype)
+
     return Model(grid=grid, e=e, par=par, coeffs_i=coeffs_i,
                  coeffs_j=coeffs_j, clock=clock, state=state,
-                 forcing=forcing, dfl=dfl, swabs=swabs)
+                 forcing=forcing, dfl=dfl, swabs=swabs,
+                 bgc_forcing=bgc_forcing)
 
 
 def run(model: Model, nsteps: int) -> Tuple[State, modeltime.ModelTime]:
@@ -103,7 +125,8 @@ def run(model: Model, nsteps: int) -> Tuple[State, modeltime.ModelTime]:
 
     two_step = make_two_step(model.grid, model.e, model.par,
                              model.coeffs_i, model.coeffs_j,
-                             model.forcing, model.dfl, model.swabs)
+                             model.forcing, model.dfl, model.swabs,
+                             model.bgc_forcing)
 
     @jax.jit
     def run_pairs(carry, delt1_pairs):
@@ -128,7 +151,7 @@ def run(model: Model, nsteps: int) -> Tuple[State, modeltime.ModelTime]:
             lambda s, dfl, d: blom_step(model.grid, model.e, model.par,
                                         model.coeffs_i, model.coeffs_j,
                                         s, model.forcing, dfl, 0, 1, d,
-                                        model.swabs)
+                                        model.swabs, model.bgc_forcing)
         )(s, dfl, jnp.asarray(delt1s[-1], s.pb.dtype))
     model.dfl = dfl
     return s, c

@@ -61,6 +61,8 @@ class StepParams(NamedTuple):
     ale: Optional[AleParams] = None
     vmix: Optional[VmixParams] = VmixParams()
     itriag: int = -1          # index of the ideal-age tracer, -1 = none
+    itrbgc: int = -1          # start index of the BGC block, -1 = none
+    bgc: object = None        # BgcParams when itrbgc >= 0
     nday_in_year: float = 360.
     difest: Optional[DifestParams] = DifestParams()
     thermf: Optional[ThermfParams] = ThermfParams()
@@ -83,7 +85,8 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
               coeffs_i: CppmCoeffs, coeffs_j: CppmCoeffs,
               s: State, forcing: Forcing, dfl: DiffusionFields,
               m: int, n: int, delt1,
-              swabs: Optional[SwabsFields] = None):
+              swabs: Optional[SwabsFields] = None,
+              bgc_forcing=None):
     """Advance one baroclinic time step (mod_blom_step.F90:74-324).
 
     Returns (state, dfl): the diffusion/eddy-transport fields are
@@ -159,6 +162,10 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     if par.itriag >= 0:
         from ..tracers.idlage import idlage_step
         s = idlage_step(s, par.itriag, n, delt1, par.nday_in_year)
+    if par.itrbgc >= 0 and bgc_forcing is not None:
+        from ..bgc.step import hamocc_step
+        s, _ = hamocc_step(grid, e, par.bgc, s, bgc_forcing,
+                           par.itrbgc, n, m, delt1)
 
     if par.vcoord_isopyc:
         # bulk mixed layer (mxlayr, mod_blom_step.F90:191-193)
@@ -186,7 +193,8 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
 def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
                   coeffs_i: CppmCoeffs, coeffs_j: CppmCoeffs,
                   forcing: Forcing, dfl: DiffusionFields,
-                  swabs: Optional[SwabsFields] = None):
+                  swabs: Optional[SwabsFields] = None,
+                  bgc_forcing=None):
     """Return a scan body advancing two steps (both time-level
     parities).  First step of the pair uses (m, n) = (0, 1) — the parity
     of the very first model step (nstep_pre = 0)."""
@@ -195,9 +203,9 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
         s, dfl_c = carry
         d1, d2 = delt1_pair
         s, dfl_c = blom_step(grid, e, par, coeffs_i, coeffs_j, s, forcing,
-                             dfl_c, 0, 1, d1, swabs)
+                             dfl_c, 0, 1, d1, swabs, bgc_forcing)
         s, dfl_c = blom_step(grid, e, par, coeffs_i, coeffs_j, s, forcing,
-                             dfl_c, 1, 0, d2, swabs)
+                             dfl_c, 1, 0, d2, swabs, bgc_forcing)
         return (s, dfl_c), None
 
     return two_step

@@ -1,0 +1,263 @@
+"""iHAMOCC-equivalent BGC tests: carbonate solver, conservation of
+P/Si/C inventories through the process chain, sinking conservation,
+and a multi-step column integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blom_tpu.bgc import chemistry as chem
+from blom_tpu.bgc import processes, sinking
+from blom_tpu.bgc.params import NBGC, BgcParams, BgcTracers as T
+
+
+@pytest.fixture(scope='module')
+def par():
+    return BgcParams()
+
+
+def _column(kk=20, jj=4, ii=6, seed=0):
+    """Random but oceanographically plausible concentration block."""
+    rng = np.random.RandomState(seed)
+    shp = (kk, jj, ii)
+    oc = np.zeros((NBGC,) + shp)
+    oc[T.sco212] = 2.1e-3 + 2e-4 * rng.rand(*shp)
+    oc[T.alkali] = 2.3e-3 + 2e-4 * rng.rand(*shp)
+    oc[T.phosph] = 1.e-6 + 2.e-6 * rng.rand(*shp)
+    oc[T.oxygen] = 1.e-4 + 2.e-4 * rng.rand(*shp)
+    oc[T.gasnit] = 8.e-4 * np.ones(shp)
+    oc[T.ano3] = 5.e-6 + 30.e-6 * rng.rand(*shp)
+    oc[T.silica] = 10.e-6 + 80.e-6 * rng.rand(*shp)
+    oc[T.doc] = 1.e-7 * rng.rand(*shp)
+    oc[T.phy] = 1.e-8 + 1.e-7 * rng.rand(*shp)
+    oc[T.zoo] = 1.e-8 + 1.e-7 * rng.rand(*shp)
+    oc[T.det] = 1.e-8 + 1.e-7 * rng.rand(*shp)
+    oc[T.calc] = 1.e-8 * rng.rand(*shp)
+    oc[T.opal] = 1.e-8 * rng.rand(*shp)
+    oc[T.an2o] = 1.e-8 * rng.rand(*shp)
+    oc[T.dms] = 1.e-9 * rng.rand(*shp)
+    oc[T.iron] = 0.6e-9 * np.ones(shp)
+    oc[T.fdust] = 1.e-9 * rng.rand(*shp)
+    oc[T.hi] = 1.e-8
+    dz = 10. + 40. * rng.rand(*shp)
+    temp = 2. + 20. * rng.rand(*shp) * np.exp(-np.arange(kk) / 5.)[:, None, None]
+    saln = 34. + rng.rand(*shp)
+    return jnp.asarray(oc), jnp.asarray(dz), jnp.asarray(temp), jnp.asarray(saln)
+
+
+# ----------------------------------------------------------------- #
+# carbonate chemistry
+# ----------------------------------------------------------------- #
+
+def test_ph_solver_converges_to_alkalinity_balance(par):
+    """At the solver's fixed point the carbonate + minor-system
+    alkalinity must reproduce total alkalinity (carchm_solve,
+    mo_carchm.F90:868-931)."""
+    t = jnp.asarray([2., 10., 25.])
+    s = jnp.asarray([33., 35., 36.])
+    prb = jnp.asarray([0., 100., 400.])
+    k = chem.kequi(t, s, prb)
+    tc = jnp.asarray([2.15e-3, 2.05e-3, 1.95e-3])
+    ta = jnp.asarray([2.30e-3, 2.32e-3, 2.28e-3])
+    sit = jnp.full(3, 50.e-6)
+    pt = jnp.full(3, 1.5e-6)
+    ah, ac = chem.solve_h(s, tc, ta, sit, pt, k, jnp.full(3, 1.e-8))
+    # carbonate alkalinity from [H+]: HCO3 + 2 CO3
+    cu = (2. * tc - ac) / (2. + k.K1 / ah)
+    cb = k.K1 * cu / ah
+    cc = k.K2 * cb / ah
+    np.testing.assert_allclose(np.asarray(cb + 2. * cc),
+                               np.asarray(ac), rtol=1e-6)
+    # total alkalinity closes
+    ac2 = ta + chem._minor_alk(s, sit, pt, ah, k)
+    np.testing.assert_allclose(np.asarray(ac2), np.asarray(ac), rtol=1e-5)
+
+
+def test_surface_ph_in_ocean_range(par):
+    """Modern-surface-ocean DIC/ALK must give pH ~8.0-8.2."""
+    k = chem.kequi(jnp.asarray(18.), jnp.asarray(35.), jnp.asarray(0.))
+    ah, _ = chem.solve_h(jnp.asarray(35.), jnp.asarray(2.0e-3),
+                         jnp.asarray(2.3e-3), jnp.asarray(5.e-6),
+                         jnp.asarray(5.e-7), k, jnp.asarray(1.e-8))
+    ph = -np.log10(float(ah))
+    assert 7.8 < ph < 8.4, ph
+
+
+def test_oxygen_saturation_magnitude():
+    """O2 saturation at 10C/35psu is ~280 umol/kg ~ 2.8e-4 kmol/m3."""
+    sat = float(chem.sat_oxygen(jnp.asarray(10.), jnp.asarray(35.)))
+    assert 2.3e-4 < sat < 3.4e-4, sat
+
+
+# ----------------------------------------------------------------- #
+# production / remineralization conservation
+# ----------------------------------------------------------------- #
+
+def _inventory(oc, dz, par):
+    """Mass-weighted P, Si, C, O2-equivalent inventories."""
+    w = dz
+    P = ((oc[T.phosph] + oc[T.phy] + oc[T.zoo] + oc[T.doc] + oc[T.det])
+         * w).sum()
+    Si = ((oc[T.silica] + oc[T.opal]) * w).sum()
+    C = ((oc[T.sco212] + oc[T.calc]
+          + par.rcar * (oc[T.phy] + oc[T.zoo] + oc[T.doc] + oc[T.det]))
+         * w).sum()
+    return float(P), float(Si), float(C)
+
+
+def test_ocprod_conserves_p_si_c(par):
+    oc, dz, temp, saln = _column()
+    lyr = jnp.ones(dz.shape, bool)
+    satoxy = chem.sat_oxygen(temp, saln)
+    strahl = jnp.full(dz.shape[1:], 100.)
+    P0, Si0, C0 = _inventory(oc, dz, par)
+    oc2, diags = processes.ocprod(oc, temp, dz, strahl, satoxy, lyr,
+                                  jnp.asarray(0.5), par)
+    P1, Si1, C1 = _inventory(oc2, dz, par)
+    assert abs(P1 - P0) < 1e-12 * max(abs(P0), 1.)
+    assert abs(Si1 - Si0) < 1e-12 * max(abs(Si0), 1.)
+    assert abs(C1 - C0) < 1e-10 * max(abs(C0), 1.)
+    assert float(diags['intphosy'].min()) >= 0.
+
+
+def test_ocprod_produces_in_light_only(par):
+    """Production requires light: zero surface irradiance => zero
+    primary production."""
+    oc, dz, temp, saln = _column()
+    lyr = jnp.ones(dz.shape, bool)
+    satoxy = chem.sat_oxygen(temp, saln)
+    oc2, diags = processes.ocprod(oc, temp, dz,
+                                  jnp.zeros(dz.shape[1:]), satoxy, lyr,
+                                  jnp.asarray(0.5), par)
+    np.testing.assert_allclose(np.asarray(diags['intphosy']), 0.)
+
+
+def test_cyano_fixes_nitrogen_toward_redfield(par):
+    oc, dz, temp, saln = _column()
+    oc = oc.at[T.ano3].set(1.e-6)          # strongly N-limited
+    euph = jnp.ones(dz.shape, bool)
+    oc2, intnfix = processes.cyano(oc, temp, dz, euph,
+                                   jnp.asarray(1.0), par)
+    assert float(intnfix.sum()) > 0.
+    # N2 consumed: dgasnit = -dansp/2
+    dn = np.asarray(oc2[T.ano3] - oc[T.ano3])
+    dg = np.asarray(oc2[T.gasnit] - oc[T.gasnit])
+    np.testing.assert_allclose(dg, -0.5 * dn, rtol=1e-10)
+
+
+# ----------------------------------------------------------------- #
+# sinking
+# ----------------------------------------------------------------- #
+
+def test_sinking_conserves_with_sedbypass(par):
+    oc, dz, temp, saln = _column()
+    ptiestw = jnp.concatenate([jnp.zeros_like(dz[:1]),
+                               jnp.cumsum(dz, axis=0)], 0)
+    ptiestu = ptiestw[:-1] + 0.5 * dz
+    omask = jnp.ones(dz.shape[1:])
+    inv0 = {i: float((oc[i] * dz).sum()) for i in sinking.SINKERS}
+    si0 = float(((oc[T.silica] + oc[T.opal]) * dz).sum())
+    c0 = float(((oc[T.sco212] + oc[T.calc]) * dz).sum())
+    oc2, flx = sinking.sinking(oc, dz, ptiestu, omask,
+                               jnp.asarray(0.5), par)
+    # det redistributed, opal/calc partially dissolved to silica/DIC:
+    det1 = float((oc2[T.det] * dz).sum())
+    assert abs(det1 - inv0[T.det]) < 1e-9 * max(inv0[T.det], 1e-30)
+    si1 = float(((oc2[T.silica] + oc2[T.opal]) * dz).sum())
+    assert abs(si1 - si0) < 1e-9 * max(si0, 1e-30)
+    c1 = float(((oc2[T.sco212] + oc2[T.calc]) * dz).sum())
+    assert abs(c1 - c0) < 1e-9 * max(c0, 1e-30)
+
+
+def test_sinking_moves_mass_downward(par):
+    """A surface detritus anomaly must move its centre of mass down."""
+    oc, dz, temp, saln = _column()
+    oc = oc.at[T.det].set(0.).at[T.det, 0].set(1.e-6)
+    par2 = par._replace(sedbypass=False)
+    ptiestw = jnp.concatenate([jnp.zeros_like(dz[:1]),
+                               jnp.cumsum(dz, axis=0)], 0)
+    ptiestu = ptiestw[:-1] + 0.5 * dz
+    omask = jnp.ones(dz.shape[1:])
+    z0 = float((oc[T.det] * dz * ptiestu).sum()
+               / (oc[T.det] * dz).sum())
+    oc2, flx = sinking.sinking(oc, dz, ptiestu, omask,
+                               jnp.asarray(1.0), par2)
+    z1 = float((oc2[T.det] * dz * ptiestu).sum()
+               / jnp.maximum((oc2[T.det] * dz).sum(), 1e-30))
+    assert z1 > z0
+
+
+# ----------------------------------------------------------------- #
+# full step in the model
+# ----------------------------------------------------------------- #
+
+def test_hamocc_step_in_model(par):
+    """Wire the BGC into the fuk95 model and run steps: inventories of
+    P stay conserved up to air-sea-free processes, all fields finite,
+    oxygen/DIC in plausible ranges."""
+    from blom_tpu.bgc.step import (BgcForcing, hamocc_step,
+                                   init_bgc_tracers, zero_bgc_forcing)
+    from blom_tpu.core.constants import onem
+    from blom_tpu.drivers import standalone
+
+    model = standalone.build_fuk95(itdm=32, jtdm=16, kdm=12)
+    s = init_bgc_tracers(
+        _with_bgc_tracers(model), 0, model.e, n=0)
+    f = zero_bgc_forcing(model.grid.shape)
+
+    step = jax.jit(lambda s: hamocc_step(
+        model.grid, model.e, par, s, f, 0, 0, 0, 180.)[0])
+    s1 = step(s)
+    for _ in range(5):
+        s1 = step(s1)
+
+    trc = np.asarray(s1.trc[0])
+    assert np.isfinite(trc).all()
+    dp = np.asarray(s1.dp[0])
+    wet = dp > 1e-6
+    # oxygen plausible
+    oxy = trc[T.oxygen][wet]
+    assert (oxy > 0.).all() and (oxy < 5e-4).all()
+    # phosphorus conservation under zero air-sea P flux: weight by dp
+    def pinv(state):
+        t = np.asarray(state.trc[0])
+        d = np.asarray(state.dp[0])
+        tot = (t[T.phosph] + t[T.phy] + t[T.zoo] + t[T.doc] + t[T.det])
+        return float((tot * d / onem).sum())
+    np.testing.assert_allclose(pinv(s1), pinv(s), rtol=1e-9)
+
+
+def _with_bgc_tracers(model):
+    """Rebuild model state with NBGC tracer slots."""
+    import dataclasses
+    z = jnp.zeros((2, NBGC) + model.state.dp.shape[-3:],
+                  model.state.dp.dtype)
+    zo = jnp.zeros((NBGC,) + model.state.dp.shape[-3:],
+                   model.state.dp.dtype)
+    return dataclasses.replace(model.state, trc=z, trcold=zo)
+
+
+def test_bgc_e2e_fuk95(par):
+    """Full dynamics + BGC end-to-end: the BGC tracer block rides the
+    CPPM advection and ALE remap; inventories stay finite and total
+    phosphorus is conserved through the coupled step (no P air-sea
+    flux, zero-P rivers)."""
+    from blom_tpu.core.constants import onem
+    from blom_tpu.drivers import standalone
+
+    model = standalone.build_fuk95(itdm=32, jtdm=16, kdm=12,
+                                   use_bgc=True)
+
+    def pinv(state, lev):
+        t = np.asarray(state.trc[lev])
+        d = np.asarray(state.dp[lev])
+        tot = (t[T.phosph] + t[T.phy] + t[T.zoo] + t[T.doc] + t[T.det])
+        return float((tot * d / onem).sum())
+
+    p0 = pinv(model.state, 0)
+    s, clock = standalone.run(model, 6)
+    trc = np.asarray(s.trc)
+    assert np.isfinite(trc).all()
+    p1 = pinv(s, 0)
+    np.testing.assert_allclose(p1, p0, rtol=5e-7)
