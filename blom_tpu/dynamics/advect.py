@@ -4,13 +4,15 @@ TPU-native re-design of the advection dispatch
 (reference: /root/reference/phy/mod_advect.F90:59-189 advect).  Computes
 CFL-clamped flux areas cau/cav from mid-level baroclinic velocity,
 predicted barotropic transport and eddy/submesoscale transports
-(mod_advect.F90:71-94), then runs the CPPM Strang-split sweeps
-(advmth='cppm'; the incremental-remap path is a later round)."""
+(mod_advect.F90:71-94), then runs either the CPPM Strang-split sweeps
+(advmth='cppm') or incremental remapping (advmth='remap',
+mod_advect.F90:96-153)."""
 
 from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from ..core.constants import onemm, epsilpl
@@ -22,7 +24,8 @@ from .diffusion_fields import DiffusionFields
 
 def advect(grid: Grid, s: State, dfl: DiffusionFields,
            coeffs_i: CppmCoeffs, coeffs_j: CppmCoeffs,
-           m: int, n: int, delt1, dlt) -> State:
+           m: int, n: int, delt1, dlt,
+           advmth: str = 'cppm') -> State:
     iu, iv, ip = grid.iu, grid.iv, grid.ip
 
     # ---- flux areas (mod_advect.F90:71-94)
@@ -41,6 +44,9 @@ def advect(grid: Grid, s: State, dfl: DiffusionFields,
     cav = jnp.clip(ca_v, -grid.vmax * dtdl_v, grid.vmax * dtdl_v) * iv
 
     s = dataclasses.replace(s, cau=cau, cav=cav)
+
+    if advmth == 'remap':
+        return _advect_remap(grid, s, m, n)
 
     # ---- CPPM Strang-split sweeps (mod_cppm.F90:2748-2834): i first on
     # odd steps; with m = (nstep+1) % 2, odd nstep <=> m == 0.
@@ -113,3 +119,62 @@ def advect(grid: Grid, s: State, dfl: DiffusionFields,
         usflx=s.usflx.at[m].add(usflx_acc * iu),
         vtflx=s.vtflx.at[m].add(vtflx_acc * iv),
         vsflx=s.vsflx.at[m].add(vsflx_acc * iv))
+
+
+def _advect_remap(grid: Grid, s: State, m: int, n: int) -> State:
+    """Incremental-remapping branch (mod_advect.F90:96-153): 9-point
+    minimum bottom pressure with wet-neighbour fallbacks, then a
+    per-layer remap (vmapped over k)."""
+    from .remap import remap_layer
+
+    ip = grid.ip
+    pbot = cumulative_p(s.dp[n])[-1]
+
+    # pbmin: 9-point min with land fallback to centre
+    # (mod_advect.F90:103-119)
+    w_ok = grid.iu > 0.
+    e_ok = grid.ip1(grid.iu) > 0.
+    s_ok = grid.iv > 0.
+    n_ok = grid.jp1(grid.iv) > 0.
+
+    def nb(a, di, dj, iok, jok):
+        cand = grid.shift(a, di, dj)
+        wet = grid.shift(ip, di, dj) > 0.
+        return jnp.where(iok & jok & wet, cand, a)
+
+    pbmin = pbot
+    for (di, dj, iok, jok) in [
+            (-1, 0, w_ok, True), (1, 0, e_ok, True),
+            (0, -1, True, s_ok), (0, 1, True, n_ok),
+            (-1, -1, w_ok, s_ok), (1, -1, e_ok, s_ok),
+            (-1, 1, w_ok, n_ok), (1, 1, e_ok, n_ok)]:
+        iok_ = iok if not isinstance(iok, bool) else jnp.ones_like(w_ok)
+        jok_ = jok if not isinstance(jok, bool) else jnp.ones_like(w_ok)
+        pbmin = jnp.minimum(pbmin, nb(pbot, di, dj, iok_, jok_))
+
+    p_i = cumulative_p(s.dp[n])
+    tr = jnp.concatenate([s.temp[n][None], s.saln[n][None], s.trc[n]],
+                         axis=0)
+
+    def one_layer(plo_k, cau_k, cav_k, dp_k, tr_k):
+        return remap_layer(grid, pbmin, s.pbu[n], s.pbv[n], plo_k,
+                           cau_k, cav_k, dp_k, tr_k)
+
+    dp_new, tr_new, fdu, fdv, ftru, ftrv = jax.vmap(
+        one_layer, in_axes=(0, 0, 0, 0, 1))(
+        p_i[1:], s.cau, s.cav, s.dp[n], tr)
+
+    # vmap puts k first: tr_new is (K, ntr, J, I)
+    s = dataclasses.replace(
+        s, trc=s.trc.at[n].set(tr_new[:, 2:].swapaxes(0, 1) * ip))
+    return dataclasses.replace(
+        s,
+        dp=s.dp.at[n].set(dp_new),
+        temp=s.temp.at[n].set(tr_new[:, 0] * ip),
+        saln=s.saln.at[n].set(tr_new[:, 1] * ip),
+        uflx=s.uflx.at[m].add(fdu * grid.iu),
+        vflx=s.vflx.at[m].add(fdv * grid.iv),
+        utflx=s.utflx.at[m].add(ftru[:, 0] * grid.iu),
+        usflx=s.usflx.at[m].add(ftru[:, 1] * grid.iu),
+        vtflx=s.vtflx.at[m].add(ftrv[:, 0] * grid.iv),
+        vsflx=s.vsflx.at[m].add(ftrv[:, 1] * grid.iv))

@@ -57,6 +57,7 @@ class StepParams(NamedTuple):
     momtum: MomtumParams = MomtumParams()
     barotp: BarotpParams = BarotpParams()
     pgfmth: str = 'dynamic enthalpy'
+    advmth: str = 'cppm'      # 'cppm' | 'remap' (mod_advect.F90:52)
     vcoord_isopyc: bool = False
     ale: Optional[AleParams] = None
     vmix: Optional[VmixParams] = VmixParams()
@@ -116,7 +117,8 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
             dfl = eddtra(grid, s, cf, dfl, m, n, delt1)
 
     # advection (mod_blom_step.F90:148)
-    s = advect(grid, s, dfl, coeffs_i, coeffs_j, m, n, delt1, dlt)
+    s = advect(grid, s, dfl, coeffs_i, coeffs_j, m, n, delt1, dlt,
+               par.advmth)
 
     # pre-barotropic mass-flux correction (mod_blom_step.F90:150)
     s = pbcor1(grid, s, m, n, dlt)
