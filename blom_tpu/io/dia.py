@@ -46,6 +46,28 @@ FIELD_REGISTRY: Dict[str, Tuple[str, Callable]] = {
 }
 
 
+def _zlv(extract):
+    """Wrap a 3-D extractor to produce its z-level remap (LVL_* ids,
+    mod_dia.F90:241-276 + ale_remap_diazlv)."""
+    def fn(g, s, n):
+        from ..core.state import cumulative_p
+        from .merdia import to_zlev
+        return to_zlev(extract(g, s, n), cumulative_p(s.dp[n]))
+    return fn
+
+
+FIELD_REGISTRY.update({
+    'templvl': ('zlv', _zlv(lambda g, s, n: s.temp[n])),
+    'salnlvl': ('zlv', _zlv(lambda g, s, n: s.saln[n])),
+    'uvellvl': ('zlv', _zlv(lambda g, s, n: s.u[n] + s.ub[n][None])),
+    'vvellvl': ('zlv', _zlv(lambda g, s, n: s.v[n] + s.vb[n][None])),
+})
+
+#: per-field accumulation operators (the ave/min/max/sq encoding of
+#: mod_dia.F90's ACC_* tables)
+VALID_OPS = ('ave', 'min', 'max', 'sq')
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DiaGroup:
@@ -56,28 +78,63 @@ class DiaGroup:
     fields: tuple = dataclasses.field(metadata=dict(static=True))
 
 
+def _norm_fields(fields):
+    """Accept 'name' or ('name', op) entries; default op 'ave'."""
+    out = []
+    for f in fields:
+        if isinstance(f, str):
+            out.append((f, 'ave'))
+        else:
+            name, op = f
+            assert op in VALID_OPS, op
+            out.append((name, op))
+    return tuple(out)
+
+
 def init_group(grid: Grid, state: State, fields, dtype=jnp.float64):
+    fields = _norm_fields(fields)
     acc = {}
-    for name in fields:
+    for name, op in fields:
         dims, fn = FIELD_REGISTRY[name]
-        acc[name] = jnp.zeros_like(fn(grid, state, 0))
-    return DiaGroup(nacc=jnp.zeros((), dtype), acc=acc,
-                    fields=tuple(fields))
+        proto = fn(grid, state, 0)
+        if op == 'min':
+            acc[name] = jnp.full_like(proto, jnp.inf)
+        elif op == 'max':
+            acc[name] = jnp.full_like(proto, -jnp.inf)
+        else:
+            acc[name] = jnp.zeros_like(proto)
+    return DiaGroup(nacc=jnp.zeros((), dtype), acc=acc, fields=fields)
 
 
 def accumulate(grid: Grid, group: DiaGroup, s: State, n: int) -> DiaGroup:
-    """Add the current state to the running means (diaacc,
-    mod_dia.F90:1097-2200)."""
+    """Add the current state to the running accumulators (diaacc,
+    mod_dia.F90:1097-2200; op semantics of the ACC_* encoding)."""
     acc = dict(group.acc)
-    for name in group.fields:
+    for name, op in group.fields:
         dims, fn = FIELD_REGISTRY[name]
-        acc[name] = acc[name] + fn(grid, s, n)
+        v = fn(grid, s, n)
+        if op == 'ave':
+            acc[name] = acc[name] + v
+        elif op == 'sq':
+            acc[name] = acc[name] + v * v
+        elif op == 'min':
+            acc[name] = jnp.minimum(acc[name], v)
+        else:
+            acc[name] = jnp.maximum(acc[name], v)
     return DiaGroup(nacc=group.nacc + 1., acc=acc, fields=group.fields)
 
 
 def reset(group: DiaGroup) -> DiaGroup:
-    return DiaGroup(nacc=jnp.zeros_like(group.nacc),
-                    acc={k: jnp.zeros_like(v) for k, v in group.acc.items()},
+    acc = {}
+    for name, op in group.fields:
+        v = group.acc[name]
+        if op == 'min':
+            acc[name] = jnp.full_like(v, jnp.inf)
+        elif op == 'max':
+            acc[name] = jnp.full_like(v, -jnp.inf)
+        else:
+            acc[name] = jnp.zeros_like(v)
+    return DiaGroup(nacc=jnp.zeros_like(group.nacc), acc=acc,
                     fields=group.fields)
 
 
@@ -92,34 +149,45 @@ def write_netcdf(path: str, grid: Grid, group: DiaGroup, time_days: float,
     jdm, idm = grid.shape
     ipm = np.asarray(grid.ip) > 0
 
+    from .merdia import DEPTHSLEV
+
     with netcdf_file(path, 'w') as f:
         f.createDimension('time', None)
         f.createDimension('y', jdm)
         f.createDimension('x', idm)
         f.createDimension('sigma', grid.kk)
+        f.createDimension('depth', len(DEPTHSLEV))
 
         tvar = f.createVariable('time', 'd', ('time',))
         tvar[0] = time_days
         tvar.units = 'days since 0001-01-01'
+
+        dvar = f.createVariable('depth', 'd', ('depth',))
+        dvar[:] = DEPTHSLEV
+        dvar.units = 'm'
 
         lat = f.createVariable('plat', 'd', ('y', 'x'))
         lat[:] = np.asarray(grid.plat)
         lon = f.createVariable('plon', 'd', ('y', 'x'))
         lon[:] = np.asarray(grid.plon)
 
-        for name in group.fields:
+        for name, op in _norm_fields(group.fields):
             dims, _ = FIELD_REGISTRY[name]
-            mean = np.asarray(group.acc[name]) * q
+            mean = np.asarray(group.acc[name])
+            if op in ('ave', 'sq'):
+                mean = mean * q
             if dims == '2d':
-                v = f.createVariable(name, 'f', ('time', 'y', 'x'))
-                out = mean.astype('f4')
-                if fill_land:
-                    out = np.where(ipm, out, np.float32(-1e33))
-                v[0] = out
+                shape = ('time', 'y', 'x')
+                mask = ipm
+            elif dims == 'zlv':
+                shape = ('time', 'depth', 'y', 'x')
+                mask = ipm[None]
             else:
-                v = f.createVariable(name, 'f', ('time', 'sigma', 'y', 'x'))
-                out = mean.astype('f4')
-                if fill_land:
-                    out = np.where(ipm[None], out, np.float32(-1e33))
-                v[0] = out
+                shape = ('time', 'sigma', 'y', 'x')
+                mask = ipm[None]
+            v = f.createVariable(name, 'f', shape)
+            out = mean.astype('f4')
+            if fill_land:
+                out = np.where(mask, out, np.float32(-1e33))
+            v[0] = out
             v._FillValue = np.float32(-1e33)
