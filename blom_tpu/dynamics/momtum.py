@@ -4,8 +4,8 @@ TPU-native re-design of the reference momentum solver
 (reference: /root/reference/phy/mod_momtum.F90:215-1280 momtum).  All
 per-layer 2-D loops are vectorized over the k axis; land/sidewall special
 cases are dense mask selections.  Implements the Sadourny (1975)
-enstrophy-conserving ('enscon') and energy-conserving ('enecon') Coriolis
-schemes; 'enedis' is deferred.
+enstrophy-conserving ('enscon'), energy-conserving ('enecon') and
+energy-conserving-with-dissipation ('enedis') Coriolis schemes.
 
 Deviation from the reference: at promontory vorticity points the
 reference reads whatever is in the scratch velocity arrays from earlier
@@ -211,6 +211,44 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
                      + jp1(vflux0 + im1(vflux0)) * jp1(potvor)) * iu
         cav = -.25 * ((uflux0 + jm1(uflux0)) * potvor
                       + ip1(uflux0 + jm1(uflux0)) * ip1(potvor)) * iv
+    elif par.mommth == 'enedis':
+        # Sadourny energy-conserving scheme with upwind-selected
+        # min/max mass fluxes for slight dissipation
+        # (mod_momtum.F90:664-712 min/max setup, :765-812 fluxes)
+        c1, c2, c3, slp_ = 1. - 1.5 * .5, 1. - .5, 2., .5
+
+        def hminmax(hc, hm):
+            hm2 = jnp.where(jnp.abs(hc) < .1 * jnp.abs(hm), 10. * hc, hm)
+            adj = jnp.where(
+                jnp.abs(hc) < c2 * jnp.abs(hm2),
+                3. * hc + (1. - c2 * 3.) * hm2,
+                jnp.where(jnp.abs(hc) <= c3 * jnp.abs(hm2), hm2,
+                          slp_ * hc + (1. - c3 * slp_) * hm2))
+            hc2 = jnp.where(jnp.abs(hc) > c1 * jnp.abs(hm2), adj, hc)
+            return jnp.minimum(hc2, hm2), jnp.maximum(hc2, hm2)
+
+        uh_min, uh_max = hminmax(.5 * utotm * (dp_m + im1(dp_m)),
+                                 uflux0)
+        vh_min, vh_max = hminmax(.5 * vtotm * (dp_m + jm1(dp_m)),
+                                 vflux0)
+
+        def upw(pv, sgn, hmx, hmn, flip):
+            s_ = pv * sgn
+            sel = jnp.where(s_ == 0., .5 * (hmx + hmn),
+                            jnp.where((s_ < 0.) != flip, hmx, hmn))
+            return pv * sel
+
+        t1u = upw(jp1(potvor), utotm, jp1(vh_max) + im1(jp1(vh_max)),
+                  jp1(vh_min) + im1(jp1(vh_min)), False)
+        t2u = upw(potvor, utotm, vh_max + im1(vh_max),
+                  vh_min + im1(vh_min), False)
+        cau = .25 * (t1u + t2u) * iu
+
+        t1v = upw(ip1(potvor), vtotm, ip1(uh_max) + jm1(ip1(uh_max)),
+                  ip1(uh_min) + jm1(ip1(uh_min)), True)
+        t2v = upw(potvor, vtotm, uh_max + jm1(uh_max),
+                  uh_min + jm1(uh_min), True)
+        cav = -.25 * (t1v + t2v) * iv
     else:
         raise NotImplementedError(f'mommth={par.mommth!r}')
 

@@ -71,6 +71,16 @@ class StepParams(NamedTuple):
     ltedtp: str = 'layer'     # 'layer' | 'neutral' (mod_diffusion.F90:99)
 
 
+def _difest_v(par: 'StepParams'):
+    """Vertical-mixing estimator dispatch: CVMix-lite interior or the
+    full KPP boundary-layer scheme (difest_vertical_hybrid's CVMix_kpp
+    path, mod_difest.F90:900-1200)."""
+    if par.vmix is not None and par.vmix.use_kpp:
+        from ..phys.vmix import difest_vertical_kpp
+        return difest_vertical_kpp
+    return difest_vertical
+
+
 def init_fluxes(s: State, m: int) -> State:
     """Reset mid-level flux accumulators (init_fluxes,
     mod_state.F90:341-383)."""
@@ -150,7 +160,7 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     if par.vcoord_isopyc:
         s = convec(grid, e, s, m, n)
         if par.vmix is not None and swabs is not None:
-            vf = difest_vertical(grid, e, s, forcing, swabs, par.vmix, n)
+            vf = _difest_v(par)(grid, e, s, forcing, swabs, par.vmix, n)
             s = diapfl(grid, e, s, vf.Kdiff_t, m, n, delt1)
 
     # surface thermodynamics: restoring fluxes (thermf,
@@ -176,7 +186,7 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
         # ALE-path vertical physics (mod_blom_step.F90:196-207):
         # cmnfld_bfsqi_ale + ale_forcing + difest_vertical_hybrid are
         # fused in difest_vertical; then implicit vertical diffusion.
-        vf = difest_vertical(grid, e, s, forcing, swabs, par.vmix, n)
+        vf = _difest_v(par)(grid, e, s, forcing, swabs, par.vmix, n)
         s = ale_vdifft(grid, e, s, forcing, vf, m, n, delt1)
         s = ale_vdiffm(grid, s, vf, m, n, delt1)
 

@@ -7,13 +7,15 @@ hybrid vertical coordinate (mod_blom_step.F90:196-207):
   shortwave and brine penetration factors and interface buoyancy flux;
 - `difest_vertical` (reference: /root/reference/phy/mod_difest.F90
   difest_vertical_hybrid, which wraps the external CVMix library):
-  interface diffusivities/viscosity.  This round implements a CVMix-lite
-  interior scheme — LMD94 shear-instability mixing, constant background
-  (the deck's BDMTYP=2/BDMC2, tests/fuk95/limits:329-331) and enhanced
-  convective mixing — while the full KPP boundary-layer scheme (OBL
-  depth, interior matching, nonlocal transport) is a later round; the
-  nonlocal profiles here collapse the surface fluxes into the top layer,
-  which is KPP's limit for an unresolved boundary layer.
+  interface diffusivities/viscosity.  Two estimators are provided:
+  `difest_vertical` — a CVMix-lite interior scheme (LMD94 shear
+  instability, constant background per the deck's BDMTYP=2/BDMC2,
+  tests/fuk95/limits:329-331, convective enhancement) with the
+  surface fluxes collapsed into the top layer; and
+  `difest_vertical_kpp` (VmixParams.use_kpp) — the full KPP ocean
+  boundary layer: bulk-Richardson OBL depth, LMD94 similarity velocity
+  scales, cubic shape-function diffusivities, and nonlocal transport
+  of the destabilizing surface fluxes.
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ from .swabs import SwabsFields, swamxd
 
 
 class VmixParams(NamedTuple):
+    use_kpp: bool = False     # full KPP OBL scheme (difest_vertical_kpp)
     bdmc2: float = 1.e-5      # background diapycnal diffusivity [m2 s-1]
     nubmin: float = 1.e-6     # minimum background viscosity [m2 s-1]
     nu_shear0: float = 5.e-3  # LMD94 max shear diffusivity [m2 s-1]
@@ -201,3 +204,147 @@ def difest_vertical(grid: Grid, e: eos.EosParams, s: State,
         t_ns_nonloc=nl_surface, s_nb_nonloc=nl_surface,
         t_rs_nonloc=nl_surface, s_rs_nonloc=nl_surface,
         buoyfl=pen['buoyfl'], mld=mld)
+
+
+# ------------------------------------------------------------------ #
+# KPP ocean boundary layer (LMD94 / CVMix_kpp equivalent)
+# ------------------------------------------------------------------ #
+
+KAPPA = 0.4
+# LMD94 similarity constants (CVMix defaults; cvmix_kpp)
+ZETA_M, A_M, C_M = -0.2, 1.257, 8.360
+ZETA_S, A_S, C_S = -1.0, -28.86, 98.96
+RIC = 0.3           # critical bulk Richardson number
+CV_T2 = 1.6         # turbulent-shear coefficient Cv
+EPS_SL = 0.1        # surface-layer fraction epsilon
+BETA_T = -0.2       # entrainment flux ratio
+CS_NONLOC = 10.     # nonlocal transport coefficient C*
+
+
+def turb_velocity_scales(sigma, hbl, ustar, bfsfc):
+    """LMD94 turbulent velocity scales w_m, w_s (phi-function
+    similarity; CVMix cvmix_kpp_compute_turbulent_scales as used by
+    difest_vertical_hybrid, mod_difest.F90:1085-1140)."""
+    ust3 = jnp.maximum(ustar, 1.e-8) ** 3
+    sig_eff = jnp.where(bfsfc < 0., jnp.minimum(sigma, EPS_SL), sigma)
+    zeta = sig_eff * hbl * KAPPA * bfsfc / ust3
+    ku = KAPPA * jnp.maximum(ustar, 1.e-8)
+    # stable
+    w_st = ku / (1. + 5. * jnp.maximum(zeta, 0.))
+    # unstable
+    zm = jnp.minimum(zeta, 0.)
+    wm_u = jnp.where(zm > ZETA_M,
+                     ku * (1. - 16. * zm) ** .25,
+                     ku * (A_M - C_M * zm) ** (1. / 3.))
+    ws_u = jnp.where(zm > ZETA_S,
+                     ku * jnp.sqrt(1. - 16. * zm),
+                     ku * (A_S - C_S * zm) ** (1. / 3.))
+    wm = jnp.where(zeta >= 0., w_st, wm_u)
+    ws = jnp.where(zeta >= 0., w_st, ws_u)
+    return wm, ws
+
+
+def bulk_richardson_obl(grid: Grid, e: eos.EosParams, s: State, n: int,
+                        ustar, bfsfc0):
+    """Boundary-layer depth from the bulk Richardson number criterion
+    (LMD94 eq. 21; CVMix cvmix_kpp_compute_bulk_Richardson +
+    OBL_depth)."""
+    kk = grid.kk
+    dp = s.dp[n]
+    p = cumulative_p(dp) * grid.ip
+    z_mid = (p[:-1] + .5 * dp) / onem                  # (kk, H) [m]
+
+    # buoyancy of each layer relative to the surface layer
+    sig0v = eos.sig0(e, s.temp[n], s.saln[n])
+    b = -grav * alpha0 * sig0v                          # [m s-2]-ish
+    br = b[0]
+
+    u_p = .5 * (s.u[n] + grid.ip1(s.u[n])) + s.ub[n][None]
+    v_p = .5 * (s.v[n] + grid.jp1(s.v[n])) + s.vb[n][None]
+    dv2 = (u_p[0][None] - u_p) ** 2 + (v_p[0][None] - v_p) ** 2
+
+    # interface N (for the turbulent shear term)
+    dp_mid = jnp.maximum(.5 * (dp[:-1] + dp[1:]), onemu)
+    n2 = grav * grav * (sig0v[1:] - sig0v[:-1]) / dp_mid
+    n_freq = jnp.sqrt(jnp.maximum(n2, 0.))
+    n_lyr = jnp.concatenate([n_freq[:1], n_freq], axis=0)
+
+    # ws at sigma=1 with h = z (LMD94 Vt2 uses the local depth)
+    _, ws = turb_velocity_scales(jnp.ones_like(z_mid), z_mid,
+                                 ustar[None], bfsfc0[None])
+    cvt2 = (CV_T2 * jnp.sqrt(-BETA_T / (C_S * EPS_SL))
+            / (RIC * KAPPA ** 2))
+    vt2 = jnp.maximum(cvt2 * z_mid * n_lyr * ws, 1.e-10)
+
+    rib = z_mid * grav * alpha0 * jnp.maximum(br[None] - b, 0.) \
+        / (dv2 + vt2)
+    # replace the buoyancy difference sign convention: deeper denser
+    # water has lower b, so br - b >= 0 under stable stratification
+    supercrit = rib > RIC
+    first = jnp.argmax(supercrit, axis=0)
+    any_sc = jnp.any(supercrit, axis=0)
+    zz = jnp.take_along_axis(z_mid, first[None], axis=0)[0]
+    hbl = jnp.where(any_sc, zz, p[kk] / onem)
+    return jnp.maximum(hbl, 1.), n_freq
+
+
+def kpp_boundary_layer(grid: Grid, hbl, ustar, bfsfc0, p_i):
+    """KPP diffusivity/viscosity profile inside the boundary layer and
+    the nonlocal transport profile (LMD94 eq. 19-20, 28; CVMix
+    cvmix_coeffs_kpp)."""
+    z_if = p_i / onem                                  # (kk+1, H)
+    # interior interfaces 1..kk-1 (between layers k-1 and k), matching
+    # the VmixFields convention Kdiff[k] = interface above layer k
+    z_int = z_if[1:-1]                                 # (kk-1, H)
+    sigma = jnp.clip(z_int / jnp.maximum(hbl, 1.)[None], 0., 1.)
+    wm, ws = turb_velocity_scales(sigma, hbl[None], ustar[None],
+                                  bfsfc0[None])
+    G = sigma * (1. - sigma) ** 2                      # shape function
+    inside = z_int < hbl[None]
+    Km = jnp.where(inside, hbl[None] * wm * G, 0.)
+    Ks = jnp.where(inside, hbl[None] * ws * G, 0.)
+    ztop = jnp.zeros_like(Km[:1])
+    Km = jnp.concatenate([ztop, Km], axis=0)           # (kk, H)
+    Ks = jnp.concatenate([ztop, Ks], axis=0)
+
+    # nonlocal transport: cumulative fraction profile (1 at surface,
+    # 0 below the OBL) active only under destabilizing forcing
+    sig_all = jnp.clip(z_if[1:] / jnp.maximum(hbl, 1.)[None], 0., 1.)
+    unstable = (bfsfc0 > 0.)[None]
+    nl = jnp.where(unstable & (z_if[1:] < hbl[None]),
+                   (1. - sig_all) ** 2, 0.)
+    nl = jnp.concatenate([jnp.ones_like(nl[:1]), nl], axis=0)
+    return Km, Ks, nl
+
+
+def difest_vertical_kpp(grid: Grid, e: eos.EosParams, s: State,
+                        forcing: Forcing, swabs: SwabsFields,
+                        par: VmixParams, n: int) -> VmixFields:
+    """Full KPP vertical mixing (difest_vertical_hybrid + CVMix_kpp,
+    mod_difest.F90:900-1200): interior LMD94 shear + background,
+    boundary-layer profile from the bulk Richardson OBL depth, and
+    nonlocal redistribution of the non-shortwave surface fluxes."""
+    base = difest_vertical(grid, e, s, forcing, swabs, par, n)
+
+    # surface friction velocity from the wind stress
+    taux_p = .5 * (forcing.taux + grid.ip1(forcing.taux))
+    tauy_p = .5 * (forcing.tauy + grid.jp1(forcing.tauy))
+    ustar = jnp.sqrt(jnp.sqrt(taux_p ** 2 + tauy_p ** 2) / 1000.)
+
+    # surface buoyancy flux: buoyfl[0] (positive = buoyancy loss =>
+    # destabilizing in this sign convention, mod_ale_forcing sign)
+    bfsfc0 = base.buoyfl[0]
+
+    hbl, _ = bulk_richardson_obl(grid, e, s, n, ustar, bfsfc0)
+    dp = s.dp[n]
+    p_i = cumulative_p(dp) * grid.ip
+    Km_bl, Ks_bl, nl = kpp_boundary_layer(grid, hbl, ustar, bfsfc0,
+                                          p_i)
+
+    Kvisc = jnp.maximum(base.Kvisc_m, Km_bl * grid.ip)
+    Kdiff = jnp.maximum(base.Kdiff_t, Ks_bl * grid.ip)
+
+    return dataclasses.replace(
+        base, Kvisc_m=Kvisc, Kdiff_t=Kdiff, Kdiff_s=Kdiff,
+        t_ns_nonloc=nl * grid.ip, s_nb_nonloc=nl * grid.ip,
+        mld=hbl)

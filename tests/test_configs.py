@@ -76,3 +76,26 @@ def test_fuk95_isopyc_bulkml():
     interior = thick & (np.arange(12)[:, None, None] >= 3) & (ip[None] > 0)
     assert interior.any()
     assert np.abs((sig - sigr)[interior]).max() < .05
+
+
+def test_fuk95_enedis_scheme():
+    """mommth='enedis' (Sadourny energy-conserving with dissipation,
+    mod_momtum.F90:765-812) runs stably and conserves mass."""
+    import dataclasses
+    import numpy as np
+    from blom_tpu.drivers import standalone
+    from blom_tpu.dynamics.momtum import MomtumParams
+
+    model = standalone.build_fuk95(itdm=32, jtdm=16, kdm=8)
+    model.par = model.par._replace(
+        momtum=dataclasses.replace(model.par.momtum, mommth='enedis')
+        if dataclasses.is_dataclass(model.par.momtum)
+        else model.par.momtum._replace(mommth='enedis'))
+    grid = model.grid
+    m0 = float((np.asarray(model.state.dp[1]).sum(0) * grid.scp2
+                * grid.ip).sum())
+    s, clock = standalone.run(model, 5)
+    for name in ('dp', 'u', 'v', 'pb'):
+        assert np.isfinite(np.asarray(getattr(s, name))).all(), name
+    m1 = float((np.asarray(s.dp[0]).sum(0) * grid.scp2 * grid.ip).sum())
+    assert abs(m1 - m0) / m0 < 1e-12
