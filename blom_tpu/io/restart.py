@@ -64,3 +64,51 @@ def read_restart(path: str, dtype=None):
         nstep0=meta['nstep0'], nstep=meta['nstep'],
         time0=meta['time0'], time=meta['time'])
     return state, clock
+
+
+def restart_filename(runid: str, clock: modeltime.ModelTime,
+                     rstfrq: float = 1., rstmon: bool = False,
+                     annual: bool = False) -> str:
+    """Rotating restart file name (restart_write naming,
+    mod_restart.F90:1158-1200): annual restarts get a dated name;
+    otherwise a 3-slot rotation keyed by month or restart count."""
+    y, mo, d = clock.date.year, clock.date.month, clock.date.day
+    if annual:
+        return (f'{runid}_restphy_{y:04d}.{mo:02d}.{d:02d}'
+                f'_{int(round(clock.time)):06d}.npz')
+    if rstmon:
+        slot = (mo + 10) % 3 + 1
+    else:
+        slot = (int(round(min(clock.nstep / max(rstfrq, 1.),
+                              clock.time))) - 1) % 3 + 1
+    return f'{runid}_restphy_{slot}.npz'
+
+
+def update_rstdate(dirpath: str, runid: str, fname: str,
+                   clock: modeltime.ModelTime):
+    """Append the written restart's date to rstdate.txt
+    (mod_restart.F90:1178-1212)."""
+    y, mo, d = clock.date.year, clock.date.month, clock.date.day
+    line = (f'{fname}: date {y:04d}.{mo:02d}.{d:02d},'
+            f' integration day {int(round(clock.time))}')
+    path = os.path.join(dirpath, 'rstdate.txt')
+    lines = []
+    if os.path.exists(path):
+        with open(path) as f:
+            lines = [ln.rstrip('\n') for ln in f if ln.strip()]
+    lines.append(line)
+    with open(path, 'w') as f:
+        f.write('\n'.join(lines[-100:]) + '\n')
+
+
+def restart_write_rotating(dirpath: str, runid: str, state: State,
+                           clock: modeltime.ModelTime,
+                           rstfrq: float = 1., rstmon: bool = False,
+                           annual: bool = False) -> str:
+    """Write a restart with the reference's rotating naming + rstdate
+    log (restart_write, mod_restart.F90:1143-1260)."""
+    fname = restart_filename(runid, clock, rstfrq, rstmon, annual)
+    path = os.path.join(dirpath, fname)
+    write_restart(path, state, clock)
+    update_rstdate(dirpath, runid, fname, clock)
+    return path

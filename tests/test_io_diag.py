@@ -90,3 +90,35 @@ def test_dia_accumulate_and_write(model, tmp_path_factory):
         ipm = np.asarray(model.grid.ip) > 0
         t0 = np.asarray(s.temp[1][0])
         np.testing.assert_allclose(sst[ipm], t0[ipm].astype('f4'), rtol=1e-6)
+
+
+def test_restart_rotation(tmp_path):
+    """3-slot rotating restart naming + rstdate.txt log
+    (mod_restart.F90:1158-1212)."""
+    import os
+    from blom_tpu.core import modeltime
+    from blom_tpu.io import restart as rst
+    from blom_tpu.drivers import standalone
+
+    model = standalone.build_fuk95(itdm=16, jtdm=8, kdm=4)
+    clock = model.clock
+    paths = set()
+    c = clock
+    for i in range(4):
+        p = rst.restart_write_rotating(str(tmp_path), 'test', model.state,
+                                       c, rstfrq=1., rstmon=True)
+        paths.add(os.path.basename(p))
+        # advance the clock one "month" by stepping days
+        for _ in range(30 * c.nstep_in_day):
+            c = c.step()
+    # monthly rotation reuses at most 3 slot names
+    assert len(paths) <= 3
+    assert os.path.exists(tmp_path / 'rstdate.txt')
+    lines = open(tmp_path / 'rstdate.txt').read().strip().split('\n')
+    assert len(lines) == 4
+    assert 'integration day' in lines[-1]
+    # read back the newest restart: bit-exact state
+    import numpy as np
+    s2, c2 = rst.read_restart(p)
+    np.testing.assert_array_equal(np.asarray(s2.dp),
+                                  np.asarray(model.state.dp))
