@@ -261,3 +261,57 @@ def test_bgc_e2e_fuk95(par):
     assert np.isfinite(trc).all()
     p1 = pinv(s, 0)
     np.testing.assert_allclose(p1, p0, rtol=5e-7)
+
+
+def test_river_and_ndep_inputs(par):
+    """River loads and N deposition add the right inventories in the
+    right pools (mo_apply_rivin/mo_apply_ndep base paths)."""
+    from blom_tpu.bgc import inputs as bi
+    oc, dz, temp, saln = _column()
+    kk, jj, ii = dz.shape
+    kmle = (jnp.arange(kk) < 2).astype(dz.dtype)[:, None, None] \
+        * jnp.ones((kk, jj, ii))
+    riv = jnp.zeros((bi.NRIV, jj, ii)).at[bi.RiverFields.rdin].set(1.e-3)
+    riv = riv.at[bi.RiverFields.ralk].set(2.e-3)
+    inv0 = float((oc[T.ano3] * dz).sum())
+    alk0 = float((oc[T.alkali] * dz).sum())
+    oc2 = bi.apply_rivin(oc, riv, dz, kmle, jnp.asarray(1.0), par)
+    # added DIN inventory = rivin * dtb/365 * area-sum over cells
+    expect = 1.e-3 / 365. * jj * ii
+    got = float((oc2[T.ano3] * dz).sum()) - inv0
+    np.testing.assert_allclose(got, expect, rtol=1e-9)
+    assert float((oc2[T.alkali] * dz).sum()) > alk0
+
+    lyr0 = jnp.ones((jj, ii), bool)
+    oc3 = bi.apply_ndep(oc2, jnp.full((jj, ii), 5.e-4), dz, lyr0,
+                        jnp.asarray(1.0))
+    dno3 = float(((oc3[T.ano3] - oc2[T.ano3]) * dz).sum())
+    dalk = float(((oc3[T.alkali] - oc2[T.alkali]) * dz).sum())
+    np.testing.assert_allclose(dno3, 5.e-4 / 365. * jj * ii, rtol=1e-9)
+    np.testing.assert_allclose(dalk, -dno3, rtol=1e-9)
+
+
+def test_boxatm_closes_carbon(par):
+    from blom_tpu.bgc.inputs import update_boxatm
+    scp2 = jnp.full((4, 5), 1.e10)
+    mask = jnp.ones((4, 5))
+    flux = jnp.full((4, 5), 1.e-6)   # kmol C /m2 to atmosphere
+    atm1 = float(update_boxatm(jnp.asarray(284.7), flux, scp2, mask))
+    total_kmol = 1.e-6 * 1.e10 * 20
+    expect = 284.7 + total_kmol * 12e-12 / 2.13
+    assert atm1 == pytest.approx(expect, rel=1e-12)
+
+
+def test_preformed_tracers(par):
+    from blom_tpu.bgc.inputs import NBGC_PREF, PrefTracers, preftrc
+    oc, dz, temp, saln = _column()
+    kk, jj, ii = dz.shape
+    ext = jnp.concatenate([oc, jnp.zeros((NBGC_PREF - NBGC, kk, jj, ii))])
+    kmle = (jnp.arange(kk) < 3).astype(dz.dtype)[:, None, None] \
+        * jnp.ones((kk, jj, ii))
+    idx = PrefTracers()
+    out = preftrc(ext, kmle)
+    np.testing.assert_allclose(np.asarray(out[idx.prefo2][:3]),
+                               np.asarray(oc[T.oxygen][:3]))
+    # below the ML the preformed tracer is untouched (still zero)
+    np.testing.assert_allclose(np.asarray(out[idx.prefpo4][3:]), 0.)
