@@ -164,3 +164,58 @@ def hamocc_step(grid: Grid, e: eos.EosParams, par: BgcParams,
     diags.update(carb_diags)
     diags['intnfix'] = intnfix
     return s, diags
+
+
+def hamocc_step_with_sediment(grid: Grid, e: eos.EosParams,
+                              par: BgcParams, s: State, f: BgcForcing,
+                              sed, itrbgc: int, n: int, nn: int, dtsec,
+                              kmle: Optional[jax.Array] = None):
+    """hamocc_step followed by the sediment module (the
+    use_sedbypass=False path of mo_hamocc4bcm.F90:355-402: powach
+    incl. dipowa, then sedshi).  The sediment state is an explicit
+    carry alongside the ocean state; bottom particle fluxes feed the
+    sediment instead of being redistributed."""
+    from . import sediment as sd
+    from . import carchm as carchm_mod
+
+    par_nosb = par._replace(sedbypass=False)
+    s, diags = hamocc_step(grid, e, par_nosb, s, f, itrbgc, n, nn,
+                           dtsec, kmle)
+
+    dp = s.dp[n]
+    temp = s.temp[n]
+    saln = s.saln[n]
+    from ..core.state import cumulative_p
+    p_i = cumulative_p(dp)
+    pmid = p_i[:-1] + 0.5 * dp
+    rho = eos.rho(pmid, temp, saln) / rho0
+    dz = dp / (onem * rho)
+    lyr = (dp > par.dp_min * onem) & (grid.ip > 0.5)
+    dz = jnp.where(lyr, dz, 0.)
+    _, _, kbo = _vgrid(dz, par.dp_min_sink, par.dp_ez)
+    kk = dp.shape[0]
+    kbo_onehot = (jnp.arange(kk)[:, None, None] == kbo[None]) \
+        .astype(dp.dtype)
+    bolay = jnp.maximum(jnp.sum(dz * kbo_onehot, axis=0), 1.e-3)
+    saln_bot = jnp.sum(saln * kbo_onehot, axis=0)
+    temp_bot = jnp.sum(temp * kbo_onehot, axis=0)
+    rrho_bot = jnp.sum(rho * kbo_onehot, axis=0)
+    pbot_bar = jnp.sum(pmid * kbo_onehot, axis=0) * 98060. * 1.027e-6 \
+        / onem
+    keq = carchm_mod.chem.kequi(temp_bot, saln_bot, pbot_bar)
+
+    oc = s.trc[n, itrbgc:itrbgc + NBGC] * rho[None]
+    oc = oc.at[T.hi].set(s.trc[n, itrbgc + T.hi])
+
+    flx = {k: diags[k] for k in ('prorca', 'prcaca', 'silpro',
+                                 'produs')}
+    sed, oc = sd.powach(sed, oc, flx, keq, bolay, kbo_onehot, grid.ip,
+                        saln_bot, rrho_bot, dtsec, par)
+    sed = sd.sedshi(sed, grid.ip)
+
+    trc_new = oc / rho[None]
+    trc_new = trc_new.at[T.hi].set(oc[T.hi])
+    trc = s.trc.at[n, itrbgc:itrbgc + NBGC].set(
+        jnp.where(lyr[None], trc_new, s.trc[n, itrbgc:itrbgc + NBGC]))
+    s = dataclasses.replace(s, trc=trc)
+    return s, sed, diags
