@@ -191,3 +191,46 @@ def write_netcdf(path: str, grid: Grid, group: DiaGroup, time_days: float,
                 out = np.where(mask, out, np.float32(-1e33))
             v[0] = out
             v._FillValue = np.float32(-1e33)
+
+
+def write_netcdf_compressed(path: str, grid: Grid, group: DiaGroup,
+                            time_days: float):
+    """Compressed (ocean-points-only) output: each field is packed
+    into a 1-D 'pcomp' dimension holding only wet points, with the
+    index map saved once (the NCFORMAT compressed path, mod_nctools
+    ncdimc/ncpack/nccomp, mod_nctools.F90:140-2539)."""
+    from scipy.io import netcdf_file
+
+    nacc = float(np.asarray(group.nacc))
+    q = 1.0 / max(nacc, 1.0)
+    ipm = np.asarray(grid.ip) > 0
+    idx = np.flatnonzero(ipm.ravel()).astype('i4')
+    npts = idx.size
+
+    from .merdia import DEPTHSLEV
+
+    with netcdf_file(path, 'w') as f:
+        f.createDimension('time', None)
+        f.createDimension('pcomp', npts)
+        f.createDimension('sigma', grid.kk)
+        f.createDimension('depth', len(DEPTHSLEV))
+
+        tvar = f.createVariable('time', 'd', ('time',))
+        tvar[0] = time_days
+        pvar = f.createVariable('pcomp', 'i', ('pcomp',))
+        pvar[:] = idx
+        pvar.compress = 'y x'
+
+        for name, op in _norm_fields(group.fields):
+            dims, _ = FIELD_REGISTRY[name]
+            mean = np.asarray(group.acc[name])
+            if op in ('ave', 'sq'):
+                mean = mean * q
+            if dims == '2d':
+                v = f.createVariable(name, 'f', ('time', 'pcomp'))
+                v[0] = mean.ravel()[idx].astype('f4')
+            else:
+                zdim = 'depth' if dims == 'zlv' else 'sigma'
+                v = f.createVariable(name, 'f', ('time', zdim, 'pcomp'))
+                flat = mean.reshape(mean.shape[0], -1)[:, idx]
+                v[0] = flat.astype('f4')

@@ -315,3 +315,37 @@ def test_preformed_tracers(par):
                                np.asarray(oc[T.oxygen][:3]))
     # below the ML the preformed tracer is untouched (still zero)
     np.testing.assert_allclose(np.asarray(out[idx.prefpo4][3:]), 0.)
+
+
+def test_cfc_exchange(par):
+    """CFC uptake from a 1990s-style atmosphere: surface concentrations
+    rise toward equilibrium, SF6 solubility lower than CFC-11's,
+    hemisphere blend interpolates across the tropics."""
+    from blom_tpu.bgc import cfc
+    jj, ii, kk = 4, 6, 5
+    H = (jj, ii)
+    z = jnp.zeros((kk, jj, ii))
+    t0 = jnp.full(H, 10.)
+    s0 = jnp.full(H, 35.)
+    plat = jnp.asarray(np.broadcast_to(
+        np.linspace(-60., 60., jj)[:, None], H).copy())
+    atm = cfc.CfcAtm(cfc11_nh=270., cfc11_sh=260., cfc12_nh=520.,
+                     cfc12_sh=505., sf6_nh=3., sf6_sh=2.8)
+    c11, c12, sf, flx = cfc.cfc_exchange(
+        z, z, z, t0, s0, plat, jnp.full(H, 8.), jnp.zeros(H),
+        jnp.full(H, 101325.), jnp.full(H, 50.), jnp.ones(H, bool),
+        atm, 1800.)
+    assert (np.asarray(c11[0]) > 0.).all()
+    assert (np.asarray(c12[0]) > 0.).all()
+    assert (np.asarray(sf[0]) > 0.).all()
+    # deeper layers untouched
+    np.testing.assert_allclose(np.asarray(c11[1:]), 0.)
+    # solubility: a_sf6 << a_cfc11 at 10C
+    a11, a12, asf = cfc.solubility_cfc(jnp.asarray(10.), jnp.asarray(35.))
+    assert float(asf) < float(a11) * 0.2
+    # hemisphere blend: northern rows see the NH value
+    b = cfc.hemisphere_blend(plat, 270., 260.)
+    assert float(np.asarray(b)[-1, 0]) == pytest.approx(270.)
+    assert float(np.asarray(b)[0, 0]) == pytest.approx(260.)
+    # flux into an undersaturated ocean is downward (positive)
+    assert (np.asarray(flx['flx11']) > 0.).all()

@@ -122,3 +122,50 @@ def test_restart_rotation(tmp_path):
     s2, c2 = rst.read_restart(p)
     np.testing.assert_array_equal(np.asarray(s2.dp),
                                   np.asarray(model.state.dp))
+
+
+def test_compressed_output_and_wdiflx(tmp_path):
+    """Ocean-points-only packing (ncdimc/ncpack) round-trips, and the
+    diagnosed-flux writer produces a loadable climatology."""
+    import jax.numpy as jnp
+    import numpy as np
+    from blom_tpu.drivers import standalone
+    from blom_tpu.io import dia
+    from blom_tpu.io.wdiflx import wdiflx
+    from blom_tpu.phys.idarlx import load_flux_clim
+
+    model = standalone.build_fuk95(itdm=16, jtdm=8, kdm=4)
+    g = dia.init_group(model.grid, model.state, ['sst', 'temp'])
+    g = dia.accumulate(model.grid, g, model.state, 0)
+    p = tmp_path / 'comp.nc'
+    dia.write_netcdf_compressed(str(p), model.grid, g, 1.0)
+    from scipy.io import netcdf_file
+    ipm = np.asarray(model.grid.ip) > 0
+    with netcdf_file(str(p), 'r', mmap=False) as f:
+        idx = f.variables['pcomp'][:]
+        assert idx.size == ipm.sum()
+        sst = f.variables['sst'][0]
+        np.testing.assert_allclose(
+            sst, np.asarray(model.state.temp[0, 0]).ravel()[idx],
+            rtol=1e-6)
+
+    acc = jnp.asarray(np.random.RandomState(0).rand(48, 8, 16))
+    count = jnp.full((48,), 2)
+    p2 = tmp_path / 'tflxdi.npz'
+    mean = wdiflx(str(p2), acc * 2., count, 'tflxap')
+    clim = load_flux_clim(str(p2), 'tflxap')
+    np.testing.assert_allclose(np.asarray(clim), np.asarray(acc),
+                               rtol=1e-12)
+
+
+def test_rdcsss_loader(tmp_path):
+    import numpy as np
+    from blom_tpu.phys.rdcsss import rdcsss
+    arr = np.random.RandomState(1).rand(12, 6, 8) + 34.
+    arr[:, 2, 3] = -9.99e33           # missing point
+    p = tmp_path / 'sss.npz'
+    np.savez(p, sss=arr)
+    out = np.asarray(rdcsss(str(p), mask=np.ones((6, 8))))
+    assert out.shape == (12, 6, 8)
+    assert np.isfinite(out).all()
+    assert 33. < out[:, 2, 3].mean() < 36.   # filled from neighbours
