@@ -52,3 +52,23 @@ def zero_forcing(kk: int, shape, dtype=jnp.float64) -> Forcing:
                    brnflx=z2, surrlx=z2, salrlx=z2,
                    sstclm=z2, sssclm=z2,
                    mu_nonloc=mu, mv_nonloc=mu)
+
+
+def fwbbal_accumulate(eiacc, pracc, eva, fmltfz, lip, sop, rnf, rfi,
+                      baclin: float):
+    """Accumulate evaporation+ice-melt vs precipitation+runoff for the
+    annual freshwater balancing (fwbbal, mod_forcing.F90:361-441,
+    accumulation part)."""
+    eiacc = eiacc + (eva + fmltfz) * baclin
+    pracc = pracc + (lip + sop + rnf + rfi) * baclin
+    return eiacc, pracc
+
+
+def fwbbal_update(prfac, eiacc, pracc, scp2, wocn_mask):
+    """Year-end update of the precipitation/runoff correction factor
+    prfac = -prfac * total(E+I) / total(P+R) (fwbbal,
+    mod_forcing.F90:382-410); returns (prfac, zeroed accumulators)."""
+    totei = jnp.sum(eiacc * scp2 * wocn_mask)
+    totpr = jnp.sum(pracc * scp2 * wocn_mask)
+    new = -prfac * totei / jnp.where(jnp.abs(totpr) > 0., totpr, 1.)
+    return new, jnp.zeros_like(eiacc), jnp.zeros_like(pracc)

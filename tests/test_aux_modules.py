@@ -136,3 +136,23 @@ def test_timers():
     rep = tm.statistics()
     assert 'a' in rep and tm.count['a'] == 2
     assert 'sec for step' in tm.step_line(5, 'a')
+
+
+def test_fwbbal_balances_freshwater():
+    """The prfac update makes scaled precipitation exactly offset
+    evaporation in the annual mean (fwbbal, mod_forcing.F90:361-441)."""
+    from blom_tpu.phys.forcing import fwbbal_accumulate, fwbbal_update
+    H = (4, 5)
+    z = jnp.zeros(H)
+    eiacc, pracc = z, z
+    eva = jnp.full(H, -4.e-5)       # net evaporation (upward)
+    lip = jnp.full(H, 3.e-5)
+    for _ in range(10):
+        eiacc, pracc = fwbbal_accumulate(eiacc, pracc, eva, z, lip, z,
+                                         z, z, 300.)
+    scp2 = jnp.full(H, 1.e8)
+    prfac, eiacc, pracc = fwbbal_update(jnp.asarray(1.), eiacc, pracc,
+                                        scp2, jnp.ones(H))
+    # scaled precip exactly offsets evaporation: prfac*P + E = 0
+    assert float(prfac) == pytest.approx(4. / 3., rel=1e-12)
+    np.testing.assert_allclose(np.asarray(eiacc), 0.)
