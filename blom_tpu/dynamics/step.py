@@ -62,6 +62,8 @@ class StepParams(NamedTuple):
     ale: Optional[AleParams] = None
     vmix: Optional[VmixParams] = VmixParams()
     itriag: int = -1          # index of the ideal-age tracer, -1 = none
+    itrtke: int = -1          # TKE tracer index, -1 = no closure
+    itrgls: int = -1          # GLS psi tracer index
     itrbgc: int = -1          # start index of the BGC block, -1 = none
     bgc: object = None        # BgcParams when itrbgc >= 0
     nday_in_year: float = 360.
@@ -79,6 +81,47 @@ def _difest_v(par: 'StepParams'):
         from ..phys.vmix import difest_vertical_kpp
         return difest_vertical_kpp
     return difest_vertical
+
+
+def _tke_closure(grid: Grid, s: State, forcing: Forcing, kdiff,
+                 par: 'StepParams', n: int, delt1):
+    """Update the TKE/GLS tracers and merge the closure's diffusivity
+    (difest_isobml TKE branch, mod_difest.F90:2641-2930)."""
+    import jax.numpy as _jnp
+
+    from ..core.state import cumulative_p
+    from ..phys import tke as _tke
+
+    dp_k = s.dp[n]
+    p_i = cumulative_p(dp_k) * grid.ip
+    sig = s.sigma[n]
+    from ..core.constants import epsilp, grav
+    dp_mid = _jnp.maximum(.5 * (dp_k[:-1] + dp_k[1:]), epsilp)
+    bvfsq_i = grav * grav * (sig[1:] - sig[:-1]) / dp_mid
+    bvfsq = _jnp.concatenate([bvfsq_i[:1], bvfsq_i], axis=0)
+
+    u_p = .5 * (s.u[n] + grid.ip1(s.u[n]))
+    v_p = .5 * (s.v[n] + grid.jp1(s.v[n]))
+    du2_i = (u_p[1:] - u_p[:-1]) ** 2 + (v_p[1:] - v_p[:-1]) ** 2
+    du2l = _jnp.concatenate([du2_i[:1], du2_i], axis=0)
+
+    kidx = _jnp.arange(dp_k.shape[0])[:, None, None]
+    kmax = _jnp.max(_jnp.where(dp_k > epsilp, kidx, 0), axis=0)
+    taux_p = .5 * (forcing.taux + grid.ip1(forcing.taux))
+    tauy_p = .5 * (forcing.tauy + grid.jp1(forcing.tauy))
+    ustar = _jnp.sqrt(_jnp.sqrt(taux_p ** 2 + tauy_p ** 2) / 1000.)
+
+    tke_tr = _jnp.maximum(s.trc[n, par.itrtke], _tke.tke_min)
+    gls_tr = _jnp.maximum(s.trc[n, par.itrgls], _tke.gls_psi_min)
+    tp = _tke.TkeParams(use_gls=par.itrgls >= 0)
+    tke_new, gls_new, nus, _ = _tke.tke_gls_update(
+        tke_tr, gls_tr, kdiff, du2l, bvfsq, dp_k, p_i, ustar,
+        s.ustarb, kmax, delt1, tp)
+    trc = s.trc.at[n, par.itrtke].set(tke_new)
+    if par.itrgls >= 0:
+        trc = trc.at[n, par.itrgls].set(gls_new)
+    s = dataclasses.replace(s, trc=trc)
+    return s, _jnp.maximum(kdiff, nus)
 
 
 def init_fluxes(s: State, m: int) -> State:
@@ -161,7 +204,14 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
         s = convec(grid, e, s, m, n)
         if par.vmix is not None and swabs is not None:
             vf = _difest_v(par)(grid, e, s, forcing, swabs, par.vmix, n)
-            s = diapfl(grid, e, s, vf.Kdiff_t, m, n, delt1)
+            kdiff = vf.Kdiff_t
+            if par.itrtke >= 0:
+                # TKE(/GLS) second-order closure replaces the Ri-based
+                # shear diffusivity (the use_TKE branch of
+                # difest_isobml, mod_difest.F90:2641-2930)
+                s, kdiff = _tke_closure(grid, s, forcing, kdiff, par,
+                                        n, delt1)
+            s = diapfl(grid, e, s, kdiff, m, n, delt1)
 
     # surface thermodynamics: restoring fluxes (thermf,
     # mod_blom_step.F90:188-189)

@@ -88,3 +88,34 @@ def test_surface_floor():
                                          par)
     np.testing.assert_allclose(np.asarray(tke)[:2], tk.tke_min)
     np.testing.assert_allclose(np.asarray(gls)[:2], tk.gls_psi_min)
+
+
+def test_tke_closure_in_isopyc_step():
+    """fuk95 isopycnic run with the TKE/GLS closure active: tracers
+    update, diffusivities stay bounded, state finite."""
+    import dataclasses as dc
+    import jax
+    from blom_tpu.drivers import standalone
+    from blom_tpu.dynamics.step import blom_step
+
+    model = standalone.build_fuk95(itdm=24, jtdm=12, kdm=8,
+                                   vcoord='isopyc_bulkml')
+    # allocate 2 tracer slots for TKE/GLS
+    kk = 8
+    H = model.grid.shape
+    z = jnp.zeros((2, 2, kk) + H)
+    s = dc.replace(model.state,
+                   trc=z.at[:, 0].set(tk.tke_min)
+                   .at[:, 1].set(tk.gls_psi_min),
+                   trcold=jnp.zeros((2, kk) + H))
+    par = model.par._replace(itrtke=0, itrgls=1)
+    s1, dfl = jax.jit(
+        lambda s: blom_step(model.grid, model.e, par, model.coeffs_i,
+                            model.coeffs_j, s, model.forcing, model.dfl,
+                            0, 1, jnp.asarray(180.), model.swabs))(s)
+    assert np.isfinite(np.asarray(s1.trc)).all()
+    wet = np.asarray(model.grid.ip) > 0
+    tke_f = np.asarray(s1.trc[1, 0])[:, wet]
+    assert (tke_f >= tk.tke_min - 1e-12).all()
+    # the bottom friction BC raises TKE above the floor
+    assert tke_f.max() > 2. * tk.tke_min
