@@ -112,3 +112,65 @@ def restart_write_rotating(dirpath: str, runid: str, state: State,
     write_restart(path, state, clock)
     update_rstdate(dirpath, runid, fname, clock)
     return path
+
+
+def write_restart_sharded(dirpath: str, state: State,
+                          clock: modeltime.ModelTime):
+    """Sharded (multi-host capable) restart via orbax/tensorstore: each
+    host writes only its shards (the PnetCDF-parallel analogue of
+    restart_write; SURVEY tensorstore path).  Metadata rides a JSON
+    sidecar."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(dirpath)
+    tree = {f.name: getattr(state, f.name)
+            for f in dataclasses.fields(state)}
+    # orbax rejects zero-size leaves (e.g. trc with ntr = 0): record
+    # their shape/dtype in the sidecar instead
+    empty = {k: (list(v.shape), str(v.dtype)) for k, v in tree.items()
+             if v.size == 0}
+    tree = {k: v for k, v in tree.items() if v.size > 0}
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(path, 'state'), tree, force=True)
+    meta = dict(
+        empty_leaves=empty,
+        calendar=clock.calendar, baclin=clock.baclin,
+        batrop=clock.batrop, lstep=clock.lstep, dlt=clock.dlt,
+        nstep_in_day=clock.nstep_in_day, date0=clock.date0.to_ymd(),
+        date=clock.date.to_ymd(), nstep0=clock.nstep0,
+        nstep=clock.nstep, time0=clock.time0, time=clock.time)
+    with open(os.path.join(path, 'clock.json'), 'w') as f:
+        json.dump(meta, f)
+
+
+def read_restart_sharded(dirpath: str, shardings=None):
+    """Load a sharded restart; `shardings` optionally maps leaf names
+    to jax.sharding.Sharding for direct sharded restore."""
+    import orbax.checkpoint as ocp
+
+    from ..core import calendar as cal
+
+    path = os.path.abspath(dirpath)
+    with open(os.path.join(path, 'clock.json')) as f:
+        meta = json.load(f)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(os.path.join(path, 'state'))
+    for k, (shape, dt) in meta.get('empty_leaves', {}).items():
+        tree[k] = jnp.zeros(tuple(shape), dt)
+    if shardings:
+        import jax
+        tree = {k: (jax.device_put(v, shardings[k])
+                    if k in shardings else jnp.asarray(v))
+                for k, v in tree.items()}
+    else:
+        tree = {k: jnp.asarray(v) for k, v in tree.items()}
+    state = State(**tree)
+    clock = modeltime.ModelTime(
+        calendar=meta['calendar'], baclin=meta['baclin'],
+        batrop=meta['batrop'], lstep=meta['lstep'], dlt=meta['dlt'],
+        nstep_in_day=meta['nstep_in_day'],
+        date0=cal.Date.from_ymd(meta['date0']),
+        date=cal.Date.from_ymd(meta['date']),
+        nstep0=meta['nstep0'], nstep=meta['nstep'],
+        time0=meta['time0'], time=meta['time'])
+    return state, clock

@@ -169,3 +169,22 @@ def test_rdcsss_loader(tmp_path):
     assert out.shape == (12, 6, 8)
     assert np.isfinite(out).all()
     assert 33. < out[:, 2, 3].mean() < 36.   # filled from neighbours
+
+
+def test_sharded_restart_roundtrip(tmp_path):
+    """orbax sharded restart: bit-exact round trip of the full state
+    pytree + clock."""
+    import numpy as np
+    from blom_tpu.drivers import standalone
+    from blom_tpu.io import restart as rst
+
+    model = standalone.build_fuk95(itdm=16, jtdm=8, kdm=4)
+    rst.write_restart_sharded(str(tmp_path / 'ckpt'), model.state,
+                              model.clock)
+    s2, c2 = rst.read_restart_sharded(str(tmp_path / 'ckpt'))
+    np.testing.assert_array_equal(np.asarray(s2.dp),
+                                  np.asarray(model.state.dp))
+    np.testing.assert_array_equal(np.asarray(s2.trc),
+                                  np.asarray(model.state.trc))
+    assert c2.nstep == model.clock.nstep
+    assert c2.date.to_ymd() == model.clock.date.to_ymd()
