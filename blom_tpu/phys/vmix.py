@@ -319,7 +319,8 @@ def kpp_boundary_layer(grid: Grid, hbl, ustar, bfsfc0, p_i):
 
 def difest_vertical_kpp(grid: Grid, e: eos.EosParams, s: State,
                         forcing: Forcing, swabs: SwabsFields,
-                        par: VmixParams, n: int) -> VmixFields:
+                        par: VmixParams, n: int,
+                        lamult=None) -> VmixFields:
     """Full KPP vertical mixing (difest_vertical_hybrid + CVMix_kpp,
     mod_difest.F90:900-1200): interior LMD94 shear + background,
     boundary-layer profile from the bulk Richardson OBL depth, and
@@ -340,6 +341,12 @@ def difest_vertical_kpp(grid: Grid, e: eos.EosParams, s: State,
     p_i = cumulative_p(dp) * grid.ip
     Km_bl, Ks_bl, nl = kpp_boundary_layer(grid, hbl, ustar, bfsfc0,
                                           p_i)
+    if lamult is not None:
+        # Langmuir enhancement of the boundary-layer diffusivity
+        # (CVMix Langmuir option consumed by difest_vertical_hybrid;
+        # lamult = Sw_lamult from the wave coupler, mod_cesm.F90)
+        Km_bl = Km_bl * lamult[None]
+        Ks_bl = Ks_bl * lamult[None]
 
     Kvisc = jnp.maximum(base.Kvisc_m, Km_bl * grid.ip)
     Kdiff = jnp.maximum(base.Kdiff_t, Ks_bl * grid.ip)

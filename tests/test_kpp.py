@@ -112,3 +112,21 @@ def test_kpp_e2e_step(model):
             assert np.isfinite(np.asarray(getattr(s, name))).all()
     finally:
         step_mod.difest_vertical = orig
+
+
+def test_langmuir_enhancement(model):
+    """The wave-coupler Langmuir factor multiplies the boundary-layer
+    diffusivity."""
+    par = vmix.VmixParams(bdmc2=0., visc_bg=0., nu_shear0=0., nubmin=0.)
+    f = _forced(model, taux=.2)
+    H = model.grid.shape
+    v1 = vmix.difest_vertical_kpp(model.grid, model.e, model.state, f,
+                                  model.swabs, par, 0)
+    v2 = vmix.difest_vertical_kpp(model.grid, model.e, model.state, f,
+                                  model.swabs, par, 0,
+                                  lamult=jnp.full(H, 2.5))
+    wet = np.asarray(model.grid.ip) > 0
+    k1 = np.asarray(v1.Kdiff_t)[1:, wet]
+    k2 = np.asarray(v2.Kdiff_t)[1:, wet]
+    pos = k1 > 1e-10
+    np.testing.assert_allclose(k2[pos] / k1[pos], 2.5, rtol=1e-9)
