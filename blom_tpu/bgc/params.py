@@ -55,6 +55,50 @@ TRACER_NAMES = (
     'fdust', 'dicsat', 'hi')
 
 
+class TracerIndex(BgcTracers):
+    """Base index namespace extended with optional tracer blocks; build
+    with make_tracer_index.  Mirrors the reference's runtime index
+    assignment from compile/namelist switches
+    (mo_param1_bgc.F90:158-320: i_base, then conditional blocks for
+    cisonew/AGG/CFC/natDIC/BROMO/extNcycle/shelfsea)."""
+    ntotal = NBGC
+    names = TRACER_NAMES
+
+
+def make_tracer_index(use_bromo=False, use_extncycle=False,
+                      use_natdic=False, use_shelfsea=False,
+                      use_cfc=False):
+    """Assign extension tracer slots after the base block in the
+    reference's canonical order (mo_param1_bgc.F90:176-320).  Returns a
+    TracerIndex subclass with .ntotal and .names."""
+    ns = type('TI', (TracerIndex,), {})
+    nxt = NBGC
+    names = list(TRACER_NAMES)
+
+    def add(*tags):
+        nonlocal nxt
+        for tag in tags:
+            setattr(ns, tag, nxt)
+            names.append(tag)
+            nxt += 1
+
+    if use_cfc:            # icfc11/icfc12/isf6 (mo_param1_bgc.F90:252-262)
+        add('cfc11', 'cfc12', 'sf6')
+    if use_natdic:         # inatsco212/inatalkali/inatcalc (:382-391);
+        # nathi is a module field in the reference (mo_carbch.F90:91) —
+        # here a slot like the base hi
+        add('natsco212', 'natalkali', 'natcalc', 'nathi')
+    if use_bromo:          # ibromo (:276-283)
+        add('bromo')
+    if use_extncycle:      # ianh4/iano2 (:293-301)
+        add('anh4', 'ano2')
+    if use_shelfsea:       # ishelfage (:303-310)
+        add('shelfage')
+    ns.ntotal = nxt
+    ns.names = tuple(names)
+    return ns
+
+
 class BgcParams(NamedTuple):
     """Static BGC parameters (defaults = mo_param_bgc.F90 base values,
     WLIN sinking as in the standard NorESM configuration)."""

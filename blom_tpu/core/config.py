@@ -163,6 +163,11 @@ class RunConfig:
     csdiag: bool = False
     rstfrq: int = 30
 
+    # channel width modifications (&CWMOD, mod_geoenv.F90:64,777-862):
+    # tuple of (cwmtag, cwmedg, cwmi, cwmj, cwmwth), consumed by
+    # geoenv.apply_cwmod when the grid is read from file
+    cwmod: tuple = ()
+
     # sub-groups
     vcoord: VCoordConfig = dataclasses.field(default_factory=VCoordConfig)
     ale: AleRegridRemapConfig = dataclasses.field(
@@ -197,4 +202,17 @@ def load_limits(path: str) -> RunConfig:
         _fill(cfg.ale, groups['ALE_REGRID_REMAP'])
     if 'DIFFUSION' in groups:
         _fill(cfg.diffusion, groups['DIFFUSION'])
+    if 'CWMOD' in groups:
+        g = {k.lower(): v for k, v in groups['CWMOD'].items()}
+
+        def _aslist(x):
+            return list(x) if isinstance(x, (list, tuple)) else [x]
+
+        tags = _aslist(g.get('cwmtag', []))
+        cfg.cwmod = tuple(
+            (tag, edg, int(ci), int(cj), float(w))
+            for tag, edg, ci, cj, w in zip(
+                tags, _aslist(g.get('cwmedg', [])),
+                _aslist(g.get('cwmi', [])), _aslist(g.get('cwmj', [])),
+                _aslist(g.get('cwmwth', []))))
     return cfg

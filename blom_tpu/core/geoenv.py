@@ -31,14 +31,38 @@ def _load_vars(path: str, names):
                 for n in names}
 
 
+def apply_cwmod(v, cwmod):
+    """Channel-width modifications (the CWMOD namelist,
+    mod_geoenv.F90:777-862): override the along-edge scale factor of a
+    named strait cell — udy (scuy) for a 'u' edge, vdx (scvx) for a 'v'
+    edge — with a prescribed width; the edge areas scu2/scv2 follow when
+    the grid is finished.  cwmod entries are (cwmtag, cwmedg, cwmi,
+    cwmj, cwmwth) with 1-based global Fortran indices."""
+    for tag, edg, ci, cj, wth in cwmod:
+        jtdm, itdm = v['pdx'].shape
+        if edg not in ('u', 'v'):
+            raise ValueError(
+                f"cwmod {tag!r}: edge must be 'u' or 'v' "
+                '(mod_geoenv.F90:826-832)')
+        if not (1 <= ci <= itdm and 1 <= cj <= jtdm):
+            raise ValueError(f'cwmod {tag!r}: indices out of bounds '
+                             '(mod_geoenv.F90:833-839)')
+        key = 'udy' if edg == 'u' else 'vdx'
+        v[key][cj - 1, ci - 1] = float(wth)
+    return v
+
+
 def geoenv_file(path: str, kk: int, baclin: float,
                 periodic_i: bool = True, arctic: bool = False,
-                dtype=None):
+                dtype=None, cwmod=()):
     """Build a Grid from a BLOM-convention grid file (geoenv_file,
     mod_geoenv.F90:45-884: scale factors from the *dx/*dy variables,
-    Coriolis from qlat/plat, depths from pdepth)."""
+    Coriolis from qlat/plat, depths from pdepth).  cwmod is an optional
+    sequence of channel-width modifications (see apply_cwmod)."""
     import jax.numpy as jnp
     v = _load_vars(path, GRID_VARS)
+    if cwmod:
+        v = apply_cwmod(v, cwmod)
     corioq = 2. * OMEGA * np.sin(np.radians(v['qlat']))
     coriop = 2. * OMEGA * np.sin(np.radians(v['plat']))
     rearth = 6.37122e6

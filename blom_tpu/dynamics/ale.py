@@ -89,7 +89,8 @@ def _sigma_at(p_src, sig_up, sig_lo, pq):
 
     init = (jnp.zeros(pq.shape, pq.dtype), jnp.zeros(pq.shape, bool))
     (got, found), _ = lax.scan(body, init,
-                               (p_src[:-1], dp, dpi, sig_up, sig_lo))
+                               (p_src[:-1], dp, dpi, sig_up, sig_lo),
+                               unroll=8)
     # below the column: use the deepest lower-interface value
     return jnp.where(found, got, sig_lo[-1])
 

@@ -25,6 +25,19 @@ import numpy as np
 from ..core.grid import Grid
 from ..core.state import State
 
+def _bottom(extract):
+    """Deepest-wet-layer value of a layer field (the *BOT ids of
+    mod_dia.F90: ACC_SBOT/ACC_TBOT)."""
+    def fn(g, s, n):
+        a = extract(g, s, n)
+        wet = s.dp[n] > 1.e-3
+        kidx = jnp.arange(a.shape[0])[:, None, None]
+        kbot = jnp.max(jnp.where(wet, kidx, 0), axis=0)
+        onehot = (kidx == kbot[None]).astype(a.dtype)
+        return jnp.sum(a * onehot, axis=0)
+    return fn
+
+
 # field extractors: name -> (dims, fn(grid, state, lvl) -> array)
 FIELD_REGISTRY: Dict[str, Tuple[str, Callable]] = {
     # 2-D (H2D_* ids, mod_dia.F90:241-276)
@@ -35,14 +48,29 @@ FIELD_REGISTRY: Dict[str, Tuple[str, Callable]] = {
     'ub': ('2d', lambda g, s, n: s.ub[n]),
     'vb': ('2d', lambda g, s, n: s.vb[n]),
     'ustarb': ('2d', lambda g, s, n: s.ustarb),
+    'pbu': ('2d', lambda g, s, n: s.pbu[n]),
+    'pbv': ('2d', lambda g, s, n: s.pbv[n]),
+    'ubflxs': ('2d', lambda g, s, n: s.ubflxs[1]),
+    'vbflxs': ('2d', lambda g, s, n: s.vbflxs[1]),
+    'sbot': ('2d', _bottom(lambda g, s, n: s.saln[n])),
+    'tbot': ('2d', _bottom(lambda g, s, n: s.temp[n])),
+    'sigmx': ('2d', lambda g, s, n: s.sigma[n][0]),
     # layer 3-D (LYR_* ids)
     'temp': ('3d', lambda g, s, n: s.temp[n]),
     'saln': ('3d', lambda g, s, n: s.saln[n]),
     'dp': ('3d', lambda g, s, n: s.dp[n]),
     'dz': ('3d', lambda g, s, n: s.dp[n]),
+    'dpu': ('3d', lambda g, s, n: s.dpu[n]),
+    'dpv': ('3d', lambda g, s, n: s.dpv[n]),
     'uvel': ('3d', lambda g, s, n: s.u[n] + s.ub[n][None]),
     'vvel': ('3d', lambda g, s, n: s.v[n] + s.vb[n][None]),
     'sigma': ('3d', lambda g, s, n: s.sigma[n]),
+    'uflx': ('3d', lambda g, s, n: s.uflx[n]),
+    'vflx': ('3d', lambda g, s, n: s.vflx[n]),
+    'utflx': ('3d', lambda g, s, n: s.utflx[n]),
+    'vtflx': ('3d', lambda g, s, n: s.vtflx[n]),
+    'usflx': ('3d', lambda g, s, n: s.usflx[n]),
+    'vsflx': ('3d', lambda g, s, n: s.vsflx[n]),
 }
 
 
@@ -61,6 +89,12 @@ FIELD_REGISTRY.update({
     'salnlvl': ('zlv', _zlv(lambda g, s, n: s.saln[n])),
     'uvellvl': ('zlv', _zlv(lambda g, s, n: s.u[n] + s.ub[n][None])),
     'vvellvl': ('zlv', _zlv(lambda g, s, n: s.v[n] + s.vb[n][None])),
+    'uflxlvl': ('zlv', _zlv(lambda g, s, n: s.uflx[n])),
+    'vflxlvl': ('zlv', _zlv(lambda g, s, n: s.vflx[n])),
+    'utflxlvl': ('zlv', _zlv(lambda g, s, n: s.utflx[n])),
+    'vtflxlvl': ('zlv', _zlv(lambda g, s, n: s.vtflx[n])),
+    'usflxlvl': ('zlv', _zlv(lambda g, s, n: s.usflx[n])),
+    'vsflxlvl': ('zlv', _zlv(lambda g, s, n: s.vsflx[n])),
 })
 
 #: per-field accumulation operators (the ave/min/max/sq encoding of

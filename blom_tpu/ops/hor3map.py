@@ -255,7 +255,8 @@ def integrate_to(rc: Recon, pq):
 
     acc0 = jnp.zeros(pq.shape, pq.dtype)
     acc, _ = jax.lax.scan(body, acc0,
-                          (rc.p[:-1], dx, dxi, rc.c0, rc.c1, rc.c2))
+                          (rc.p[:-1], dx, dxi, rc.c0, rc.c1, rc.c2),
+                          unroll=8)
     return acc
 
 
@@ -287,7 +288,7 @@ def remap_means(rc: Recon, p_dst):
     acc0 = jnp.zeros(pq.shape, pq.dtype)
     (I, point, found), _ = jax.lax.scan(
         body, (acc0, acc0, jnp.zeros(pq.shape, bool)),
-        (rc.p[:-1], dx, dxi, rc.c0, rc.c1, rc.c2))
+        (rc.p[:-1], dx, dxi, rc.c0, rc.c1, rc.c2), unroll=8)
 
     dpd = p_dst[1:] - p_dst[:-1]
     means = (I[1:] - I[:-1]) / jnp.maximum(dpd, heps)

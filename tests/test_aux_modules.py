@@ -156,3 +156,66 @@ def test_fwbbal_balances_freshwater():
     # scaled precip exactly offsets evaporation: prfac*P + E = 0
     assert float(prfac) == pytest.approx(4. / 3., rel=1e-12)
     np.testing.assert_allclose(np.asarray(eiacc), 0.)
+
+
+def test_swabs_chlorophyll_methods():
+    """ma94 polynomial fractions must sum to 1-ma94_irfc; ohl03 LUT at a
+    Table-1a node must reproduce the node values (mod_swabs.F90:405-435,
+    653-710)."""
+    from blom_tpu.phys import swabs
+
+    chl10 = jnp.asarray([[-1.0, 0.0], [1.5, -3.0]])  # incl. out-of-range
+    sw = swabs.swabs_from_chl(chl10, 'chlorophyll_ma94')
+    np.testing.assert_allclose(np.asarray(sw.swfc1 + sw.swfc2),
+                               1.0 - swabs.ma94_irfc, rtol=1e-12)
+    assert np.all(np.asarray(sw.swal1) > 0)
+    assert np.all(np.asarray(sw.swal2) > np.asarray(sw.swal1))
+
+    # chl = 1.0 (log10 = 0) is a Table 1a node and also an exact LUT grid
+    # point (lut spans log10 in [-3, 1] -> 0 lands on index 300).
+    sw1 = swabs.swabs_from_chl(jnp.asarray([[0.0]]), 'chlorophyll_ohl03')
+    i = np.argwhere(swabs.chl_tab1a == 1.0)[0, 0]
+    np.testing.assert_allclose(float(sw1.swfc1[0, 0]),
+                               swabs.a2_tab1a[i], rtol=1e-6)
+    np.testing.assert_allclose(float(sw1.swal2[0, 0]),
+                               1.0 / swabs.b1_tab1a[i], rtol=1e-6)
+
+    # monthly climatology update: constant climatology -> constant fields
+    chl10c = jnp.full((12, 2, 2), 0.0)
+    swm = swabs.updswa('chlorophyll_ma94', chl10c, (0.3, 1, 2, 3, 4, 5))
+    np.testing.assert_allclose(np.asarray(swm.swfc1),
+                               float(sw.swfc1[0, 1]), rtol=1e-12)
+
+
+def test_pgforc_geopotential_matches_dynamic_enthalpy(model):
+    """The two PGF formulations (pgforc_geopotential
+    mod_pgforc.F90:95-260 vs pgforc_dynamic_enthalpy :265-437) are
+    independent discretizations of the same force; on the fuk95 jet the
+    layer PGF fields must agree to discretization accuracy, and the
+    geopotential PGF of a resting, horizontally uniform state must
+    vanish."""
+    from blom_tpu.dynamics import pgforc
+
+    s = model.state
+    sg = pgforc.pgforc(model.grid, model.e, s, 0, 1, pgfmth='geopotential')
+    sd = pgforc.pgforc(model.grid, model.e, s, 0, 1,
+                       pgfmth='dynamic enthalpy')
+    scale = float(jnp.max(jnp.abs(sd.pgfx[1])))
+    assert scale > 0
+    assert float(jnp.max(jnp.abs(sg.pgfx[1] - sd.pgfx[1]))) < 1e-4 * scale
+    assert float(jnp.max(jnp.abs(sg.pgfy[1] - sd.pgfy[1]))) < 1e-4 * scale
+    assert bool(jnp.all(jnp.isfinite(sg.pgfxm)))
+
+    # horizontally uniform stratification: zero PGF
+    import dataclasses
+    kk = model.grid.kk
+    t0 = s.temp[0, :, :1, :1] * 0 + jnp.linspace(
+        10., 2., kk)[:, None, None]
+    su = dataclasses.replace(
+        s,
+        temp=s.temp * 0 + t0[None],
+        saln=s.saln * 0 + 35.0,
+        dp=s.dp * 0 + jnp.mean(s.dp, axis=(2, 3), keepdims=True))
+    sg0 = pgforc.pgforc(model.grid, model.e, su, 0, 1,
+                        pgfmth='geopotential')
+    assert float(jnp.max(jnp.abs(sg0.pgfx[1]))) < 1e-7 * max(scale, 1e-30)

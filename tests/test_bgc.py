@@ -349,3 +349,200 @@ def test_cfc_exchange(par):
     assert float(np.asarray(b)[0, 0]) == pytest.approx(260.)
     # flux into an undersaturated ocean is downward (positive)
     assert (np.asarray(flx['flx11']) > 0.).all()
+
+
+# ----------------------------------------------------------------- #
+# extensions: extended N cycle, bromoform, shelf-sea residence time
+# ----------------------------------------------------------------- #
+
+def test_extn_watercol_conserves_N_and_P(par):
+    """The four extNcycle processes (mo_extNwatercol.F90:83-454) must
+    conserve total nitrogen (counting N2O and N2 as 2 N... the
+    reference stores an2o/gasnit per molecule with stoichiometric
+    factors such that each carries its N internally: an2o in kmol N2O,
+    gasnit in kmol N2) and total phosphorus exactly."""
+    from blom_tpu.bgc import extensions as ext
+    from blom_tpu.bgc.params import make_tracer_index
+
+    ti = make_tracer_index(use_extncycle=True)
+    oc, dz, temp, saln = _column()
+    # widen the block with NH4/NO2 slots
+    extra = np.zeros((ti.ntotal - NBGC,) + oc.shape[1:])
+    rng = np.random.RandomState(3)
+    extra[ti.anh4 - NBGC] = 1.e-6 * rng.rand(*oc.shape[1:])
+    extra[ti.ano2 - NBGC] = 1.e-6 * rng.rand(*oc.shape[1:])
+    oc = jnp.concatenate([oc, jnp.asarray(extra)], axis=0)
+    # make some cells strongly hypoxic so denit/anammox activate
+    oc = oc.at[T.oxygen, 10:].set(1.e-9)
+    wet = jnp.ones(dz.shape, bool)
+
+    def totals(o):
+        N = (o[T.ano3] + o[ti.ano2] + o[ti.anh4]
+             + 2. * o[T.an2o] + 2. * o[T.gasnit]
+             + par.rnit * (o[T.det] + o[T.phy] + o[T.zoo] + o[T.doc]))
+        P = (o[T.phosph] + o[T.det] + o[T.phy] + o[T.zoo] + o[T.doc])
+        return (float(jnp.sum(N * dz)), float(jnp.sum(P * dz)))
+
+    N0, P0 = totals(oc)
+    oc2, diags = ext.extn_watercol(oc, ti, temp, wet, jnp.asarray(0.5),
+                                   par)
+    N1, P1 = totals(oc2)
+    assert abs(N1 - N0) < 1e-10 * abs(N0)
+    assert abs(P1 - P0) < 1e-10 * abs(P0)
+    # something actually happened
+    assert float(jnp.max(jnp.abs(oc2[ti.anh4] - oc[ti.anh4]))) > 0
+    # no negative concentrations created
+    for idx in (ti.anh4, ti.ano2, T.ano3, T.an2o, T.oxygen, T.det):
+        assert float(oc2[idx].min()) >= -1e-20
+
+
+def test_extn_nitrification_needs_oxygen(par):
+    """Amox/nitr rates collapse when O2 -> 0 (O2limanh4 factor,
+    mo_extNwatercol.F90:124-131)."""
+    from blom_tpu.bgc import extensions as ext
+    from blom_tpu.bgc.params import make_tracer_index
+
+    ti = make_tracer_index(use_extncycle=True)
+    oc, dz, temp, saln = _column()
+    extra = np.zeros((ti.ntotal - NBGC,) + oc.shape[1:])
+    extra[ti.anh4 - NBGC] = 1.e-6
+    extra[ti.ano2 - NBGC] = 1.e-6
+    oc = jnp.concatenate([oc, jnp.asarray(extra)], axis=0)
+    wet = jnp.ones(dz.shape, bool)
+
+    rich = oc.at[T.oxygen].set(3.e-4)
+    poor = oc.at[T.oxygen].set(1.e-12)
+    _, d_rich = ext.nitrification(rich, ti, temp, wet, 0.5, par,
+                                  ext.ExtNParams())
+    _, d_poor = ext.nitrification(poor, ti, temp, wet, 0.5, par,
+                                  ext.ExtNParams())
+    assert float(jnp.mean(d_rich['nitr_NH4'])) > \
+        10. * float(jnp.mean(d_poor['nitr_NH4']))
+
+
+def test_bromoform_cycle(par):
+    """Undersaturated surface ocean takes up CHBr3 from the atmosphere;
+    hydrolysis+substitution decay reduces concentrations; production
+    adds where there is light (mo_ocprod.F90:548-563,
+    mo_carchm.F90:547-548,612-626)."""
+    from blom_tpu.bgc import extensions as ext
+
+    bp = ext.BromoParams()
+    shp = (4, 6)
+    wet0 = jnp.ones(shp, bool)
+    bromo0 = jnp.zeros(shp)    # fully undersaturated
+    new, atmflx = ext.bromo_surface_flux(
+        bromo0, jnp.full(shp, 15.), jnp.zeros(shp), jnp.full(shp, 8.),
+        jnp.full(shp, 101325.), jnp.full(shp, 50.), 3600., bp, wet0)
+    assert float(new.min()) > 0.          # ocean gained
+    assert float(atmflx.max()) < 0.       # atmosphere lost
+
+    # decay shrinks a positive concentration
+    kk = 5
+    b = jnp.full((kk,) + shp, 1.e-11)
+    tk = jnp.full((kk,) + shp, 288.15)
+    kw = jnp.full((kk,) + shp, 1.e-14)
+    ah = jnp.full((kk,) + shp, 1.e-8)
+    b2 = ext.bromo_deep_decay(b, tk, kw, ah, 86400., jnp.ones(b.shape,
+                                                              bool))
+    assert float(jnp.max(b2)) < 1.e-11
+    assert float(jnp.min(b2)) > 0.
+
+
+def test_shelfsea_residence_time():
+    from blom_tpu.bgc import extensions as ext
+    shp = (3, 4, 5)
+    age = jnp.full(shp, 2.0)
+    shelf = jnp.zeros(shp[1:], bool).at[:, :2].set(True)
+    wet = jnp.ones(shp, bool)
+    age2 = ext.shelfsea_residence_time(age, shelf, wet, 0.5)
+    np.testing.assert_allclose(np.asarray(age2[:, :, :2]), 2.5)
+    np.testing.assert_allclose(np.asarray(age2[:, :, 2:]), 1.5)
+    # relaxation floors at zero
+    age3 = ext.shelfsea_residence_time(jnp.zeros(shp), shelf, wet, 0.5)
+    assert float(age3.min()) == 0.
+
+
+def test_inventory_bgc_audit(par):
+    """inventory_bgc aggregates (mo_inventory_bgc.F90:405-460) must be
+    invariant under ocprod + extNcycle, and must move one-for-one with
+    a DIC perturbation."""
+    from blom_tpu.bgc import extensions as ext
+    from blom_tpu.bgc.inventory import inventory_bgc, inventory_deltas
+    from blom_tpu.bgc.params import make_tracer_index
+
+    ti = make_tracer_index(use_extncycle=True)
+    oc, dz, temp, saln = _column()
+    extra = np.zeros((ti.ntotal - NBGC,) + oc.shape[1:])
+    extra[ti.anh4 - NBGC] = 1.e-6
+    extra[ti.ano2 - NBGC] = 1.e-6
+    oc = jnp.concatenate([oc, jnp.asarray(extra)], axis=0)
+    area = jnp.full(dz.shape[1:], 1.e8)
+    om = jnp.ones(dz.shape[1:])
+    wet = jnp.ones(dz.shape, bool)
+
+    inv0 = inventory_bgc(oc, dz, area, om, par, ti=ti)
+    oc2, _ = ext.extn_watercol(oc, ti, temp, wet, jnp.asarray(0.5), par)
+    inv1 = inventory_bgc(oc2, dz, area, om, par, ti=ti)
+    d = inventory_deltas(inv0, inv1)
+    assert abs(d['totalnitr']) < 1e-12
+    assert abs(d['totalphos']) < 1e-12
+    assert abs(d['totalsil']) < 1e-14
+
+    # perturbation accounting: +X kmol DIC raises totalcarbon by X
+    pert = oc.at[T.sco212].add(1.e-5)
+    invp = inventory_bgc(pert, dz, area, om, par, ti=ti)
+    dv = float(invp['totalcarbon'] - inv0['totalcarbon'])
+    expect = float(jnp.sum(1.e-5 * dz * area[None] * om[None]))
+    np.testing.assert_allclose(dv, expect, rtol=1e-9)
+
+
+def test_natdic_parallel_carbonate(par):
+    """Natural-DIC system (use_natDIC, mo_carchm.F90:245-257,444-451,
+    633-658): with natural tracers initialized to the actual ones and
+    the same pre-industrial atmosphere, the natural system must evolve
+    identically to the base system through carchm."""
+    from blom_tpu.bgc import extensions as ext
+    from blom_tpu.bgc.params import make_tracer_index
+
+    ti = make_tracer_index(use_natdic=True)
+    oc, dz, temp, saln = _column(kk=6)
+    extra = np.zeros((ti.ntotal - NBGC,) + oc.shape[1:])
+    oc = jnp.concatenate([oc, jnp.asarray(extra)], axis=0)
+    oc = oc.at[ti.natsco212].set(oc[T.sco212])
+    oc = oc.at[ti.natalkali].set(oc[T.alkali])
+    oc = oc.at[ti.natcalc].set(oc[T.calc])
+    oc = oc.at[ti.nathi].set(oc[T.hi])
+
+    shp = dz.shape
+    lyr = jnp.ones(shp, bool)
+    rho = jnp.full(shp, 1.025)
+    ptiestu = jnp.cumsum(dz, axis=0) - 0.5 * dz
+    fu10 = jnp.full(shp[1:], 7.)
+    slp = jnp.full(shp[1:], 101325.)
+    fice = jnp.zeros(shp[1:])
+    kmle = jnp.ones(shp[1:], jnp.int32)
+
+    from blom_tpu.bgc import carchm as carchm_mod
+    parnat = par._replace(atm_co2=284.7)
+    ocb, _, _ = carchm_mod.carchm(oc, temp, saln, rho, dz, ptiestu, lyr,
+                                  kmle, None, fu10, slp, fice, 3600.,
+                                  parnat)
+    ocn, diags = ext.carchm_nat(oc, ti, temp, saln, rho, dz, ptiestu,
+                                lyr, fu10, slp, fice, 3600., par,
+                                atm_co2_nat=284.7)
+    np.testing.assert_allclose(np.asarray(ocn[ti.natsco212]),
+                               np.asarray(ocb[T.sco212]), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ocn[ti.nathi]),
+                               np.asarray(ocb[T.hi]), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ocn[ti.natcalc]),
+                               np.asarray(ocb[T.calc]), rtol=1e-10)
+    assert bool(jnp.all(jnp.isfinite(diags['natpco2'])))
+
+    # bio mirror: deltas propagate one-to-one
+    oc2 = oc.at[T.sco212].add(1.e-6).at[T.calc].add(2.e-7)
+    oc3 = ext.natdic_bio_mirror(oc, oc2, ti)
+    np.testing.assert_allclose(
+        np.asarray(oc3[ti.natsco212] - oc[ti.natsco212]), 1.e-6)
+    np.testing.assert_allclose(
+        np.asarray(oc3[ti.natcalc] - oc[ti.natcalc]), 2.e-7)

@@ -168,3 +168,41 @@ def test_inicon_woa_builds_runnable_state():
     s, clock = standalone.run(model2, 4)
     for name in ('dp', 'temp', 'saln', 'u', 'v'):
         assert np.isfinite(np.asarray(getattr(s, name))).all(), name
+
+
+def test_cwmod_channel_width(tmp_path):
+    """A CWMOD entry must override scuy/scvx at the named cell and the
+    edge areas scu2/scv2 must follow (mod_geoenv.F90:777-862)."""
+    from blom_tpu.core.geoenv import geoenv_file
+    from blom_tpu.core.config import load_limits
+    from blom_tpu.drivers import standalone
+    model = standalone.build_fuk95(itdm=24, jtdm=12, kdm=6)
+    g = model.grid
+    path = tmp_path / 'grid.npz'
+    np.savez(path,
+             pdx=np.asarray(g.scpx), pdy=np.asarray(g.scpy),
+             udx=np.asarray(g.scux), udy=np.asarray(g.scuy),
+             vdx=np.asarray(g.scvx), vdy=np.asarray(g.scvy),
+             qdx=np.asarray(g.scqx), qdy=np.asarray(g.scqy),
+             plat=np.asarray(g.plat), plon=np.asarray(g.plon),
+             qlat=np.asarray(g.plat), pdepth=np.asarray(g.depths))
+
+    deck = tmp_path / 'limits'
+    deck.write_text(
+        "&CWMOD\n"
+        "  CWMTAG = 'gibraltar'\n"
+        "  CWMEDG = 'u'\n"
+        "  CWMI = 5\n"
+        "  CWMJ = 7\n"
+        "  CWMWTH = 12000.\n"
+        "/\n")
+    cfg = load_limits(str(deck))
+    assert cfg.cwmod == (('gibraltar', 'u', 5, 7, 12000.0),)
+
+    g2 = geoenv_file(str(path), kk=6, baclin=180., periodic_i=True,
+                     cwmod=cfg.cwmod)
+    assert float(g2.scuy[6, 4]) == 12000.0
+    np.testing.assert_allclose(float(g2.scu2[6, 4]),
+                               12000.0 * float(g.scux[6, 4]))
+    # untouched elsewhere
+    assert float(g2.scuy[0, 0]) == float(g.scuy[0, 0])

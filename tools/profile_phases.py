@@ -8,7 +8,11 @@ the full-step time (fusion across phases changes the picture), but the
 ranking tells us where to optimize.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
