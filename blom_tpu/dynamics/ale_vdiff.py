@@ -44,7 +44,7 @@ def _thomas(dp_c, fp, rhs):
     x0 = rhs[0] * bei0
     (_, _), (xs, gams) = lax.scan(
         fwd, (bei0, x0),
-        (dp_c[1:], fp[1:], fp_next[1:], rhs[1:]))
+        (dp_c[1:], fp[1:], fp_next[1:], rhs[1:]), unroll=8)
     xs = jnp.concatenate([x0[None], xs], axis=0)
     gams = jnp.concatenate([jnp.zeros_like(gams[:1]), gams], axis=0)
 
@@ -53,7 +53,8 @@ def _thomas(dp_c, fp, rhs):
         x = xk - gamk1 * x_next
         return x, x
 
-    _, out_rev = lax.scan(back, xs[-1], (xs[:-1], gams[1:]), reverse=True)
+    _, out_rev = lax.scan(back, xs[-1], (xs[:-1], gams[1:]), reverse=True,
+                          unroll=8)
     return jnp.concatenate([out_rev, xs[-1:]], axis=0)
 
 

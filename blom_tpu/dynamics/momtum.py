@@ -414,7 +414,7 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
     # k=0 blends with itself (kan = max(1,k-1) in the reference)
     (_, _), (u_f, v_f) = lax.scan(
         fill_scan, (u_new[0], v_new[0]),
-        (u_new, v_new, dpu_m, dpu_n, dpv_m, dpv_n))
+        (u_new, v_new, dpu_m, dpu_n, dpv_m, dpv_n), unroll=8)
 
     utot = jnp.sum(u_f * dpu_n, axis=0) / jnp.maximum(s.pbu_p, epsilp) * iu
     vtot = jnp.sum(v_f * dpv_n, axis=0) / jnp.maximum(s.pbv_p, epsilp) * iv

@@ -546,3 +546,44 @@ def test_natdic_parallel_carbonate(par):
         np.asarray(oc3[ti.natsco212] - oc[ti.natsco212]), 1.e-6)
     np.testing.assert_allclose(
         np.asarray(oc3[ti.natcalc] - oc[ti.natcalc]), 2.e-7)
+
+
+def test_offline_restart_remap_conserves():
+    """tools/bgc_inputs vertical re-layering must conserve the column
+    integral and reproduce constants exactly
+    (utils/iHAMOCC/restart_remapping counterpart)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'bgc_inputs', 'tools/bgc_inputs.py')
+    bi = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bi)
+
+    rng = np.random.RandomState(0)
+    ks, kd, J, I = 8, 13, 3, 4
+    dps = rng.rand(ks, J, I) + 0.1
+    p_src = np.concatenate([np.zeros((1, J, I)),
+                            np.cumsum(dps, axis=0)], axis=0)
+    pb = p_src[-1]
+    # destination: same column range, different layering
+    w = rng.rand(kd, J, I) + 0.1
+    w = w / w.sum(0)
+    p_dst = np.concatenate([np.zeros((1, J, I)),
+                            np.cumsum(w * pb[None], axis=0)], axis=0)
+    trc = rng.rand(2, ks, J, I)
+    out = bi.remap_restart_column(trc, p_src, p_dst)
+    tot_src = (trc * dps[None]).sum(1)
+    tot_dst = (out * (p_dst[1:] - p_dst[:-1])[None]).sum(1)
+    np.testing.assert_allclose(tot_dst, tot_src, rtol=1e-12)
+    # constant field stays constant
+    out_c = bi.remap_restart_column(np.full((1, ks, J, I), 3.3),
+                                    p_src, p_dst)
+    np.testing.assert_allclose(out_c, 3.3, rtol=1e-12)
+
+    # nearest-neighbour regrid: a smooth zonal field survives
+    lat = np.linspace(-89.5, 89.5, 180)
+    lon = np.linspace(0.5, 359.5, 360)
+    f = np.cos(np.radians(lat))[:, None] * np.ones((180, 360))
+    plat = np.linspace(-60, 60, 20)[:, None] * np.ones((20, 30))
+    plon = np.ones((20, 1)) * np.linspace(0, 355, 30)[None]
+    g = bi.regrid_to_model(lat, lon, f, plat, plon)
+    np.testing.assert_allclose(g, np.cos(np.radians(plat)), atol=0.01)
