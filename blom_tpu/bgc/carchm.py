@@ -20,7 +20,8 @@ XCONVXA = 6.97e-7           # Wanninkhof 2014 piston-velocity factor
 
 
 def carchm(oc, ptho, psao, prho, dz, ptiestu, lyr, kmle,
-           strahl_unused, fu10, slp, fice, dtsec, p: BgcParams):
+           strahl_unused, fu10, slp, fice, dtsec, p: BgcParams,
+           ti=None, cp=None):
     """Solve the CO2 system, apply air-sea fluxes and dissolve CaCO3.
 
     oc: (ntr, K, J, I) concentrations [kmol/m3]; prho: in-situ density
@@ -127,6 +128,14 @@ def carchm(oc, ptho, psao, prho, dz, ptiestu, lyr, kmle,
     oc = oc.at[T.alkali].add(2. * dissol)
     oc = oc.at[T.sco212].add(dissol)
 
+    # ------------- carbon isotopes (use_cisonew) ---------------------
+    ciso_diags = {}
+    if ti is not None and cp is not None:
+        from . import ciso as ciso_mod
+        oc, ciso_diags = ciso_mod.carchm_ciso(
+            oc, ti, t0, tk0, s0, cu, cb, cc, Kh0_0, kwco2, rpp0, pH2O,
+            fc, rrho0, dz0, wet0, dissol, lyr, dtsec, p, cp)
+
     fco2 = cu[0] * 1.e6 / Kh0_0
     pco2 = fco2 / fc
     diags = {'co2flux': jnp.where(wet0, fluxu - fluxd, 0.),
@@ -138,4 +147,5 @@ def carchm(oc, ptho, psao, prho, dz, ptiestu, lyr, kmle,
              'omegaC': jnp.where(lyr, omegaC, 0.),
              'omegaA': jnp.where(lyr, omegaA, 0.),
              'co3': jnp.where(lyr, co3, 0.)}
+    diags.update(ciso_diags)
     return oc, satoxy, diags

@@ -67,7 +67,7 @@ class TracerIndex(BgcTracers):
 
 def make_tracer_index(use_bromo=False, use_extncycle=False,
                       use_natdic=False, use_shelfsea=False,
-                      use_cfc=False):
+                      use_cfc=False, use_ciso=False):
     """Assign extension tracer slots after the base block in the
     reference's canonical order (mo_param1_bgc.F90:176-320).  Returns a
     TracerIndex subclass with .ntotal and .names."""
@@ -82,6 +82,9 @@ def make_tracer_index(use_bromo=False, use_extncycle=False,
             names.append(tag)
             nxt += 1
 
+    if use_ciso:           # i_iso block (mo_param1_bgc.F90:334-346)
+        add('sco213', 'sco214', 'doc13', 'doc14', 'phy13', 'phy14',
+            'zoo13', 'zoo14', 'det13', 'det14', 'calc13', 'calc14')
     if use_cfc:            # icfc11/icfc12/isf6 (mo_param1_bgc.F90:252-262)
         add('cfc11', 'cfc12', 'sf6')
     if use_natdic:         # inatsco212/inatalkali/inatcalc (:382-391);
@@ -141,10 +144,12 @@ class BgcParams(NamedTuple):
     zinges: float = 0.7
     epsher: float = 0.8
 
-    # export production (mo_param_bgc.F90:333-336,674-676)
+    # export production (mo_param_bgc.F90:333-336; WLIN/M4AGO branch
+    # of ini_param_biol, :677-679 — the standard NorESM values; the
+    # AGG branch uses 14/10.5, the legacy base 40/30)
     bkopal: float = 1.e-5
-    rcalc: float = 14.
-    ropal: float = 10.5
+    rcalc: float = 7.
+    ropal: float = 80.
 
     # remineralization (mo_param_bgc.F90:341-357)
     o2thresh_aerob: float = 5.e-8

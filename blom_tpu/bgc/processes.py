@@ -42,12 +42,16 @@ def swr_absorption(oc, dz, lyr, p: BgcParams):
     return abs_bgc
 
 
-def ocprod(oc, ptho, dz, strahl, satoxy, lyr, dtb, p: BgcParams):
+def ocprod(oc, ptho, dz, strahl, satoxy, lyr, dtb, p: BgcParams,
+           return_fluxes: bool = False):
     """Production + remineralization + denitrification + sulfate
     reduction (ocprod loops 1-3, mo_ocprod.F90:294-1010).
 
     Returns (oc, diags) where diags holds the vertically integrated
-    export/production fields (mo_biomod accumulators)."""
+    export/production fields (mo_biomod accumulators).  With
+    return_fluxes=True, returns (oc, diags, flx) where flx carries the
+    per-layer process fluxes the carbon-isotope replay (bgc/ciso.py)
+    multiplies by source-pool isotope ratios."""
     abs_bgc = swr_absorption(oc, dz, lyr, p)
 
     temp = jnp.clip(ptho, -3., 40.)
@@ -193,6 +197,15 @@ def ocprod(oc, ptho, dz, strahl, satoxy, lyr, dtb, p: BgcParams):
 
     diags = {'intphosy': intphosy, 'expoor': expoor, 'expoca': expoca,
              'exposi': exposi, 'intdnit': intdnit}
+    if return_fluxes:
+        w = lambda a: jnp.where(wet, a, 0.)
+        flx = {'phosy': w(phosy), 'grazing': w(grazing),
+               'phymor': w(phymor), 'zoomor': w(zoomor),
+               'excdoc': w(excdoc), 'exud': w(exud),
+               'export': w(export), 'avsil': avsil,
+               'pocrem': pocrem, 'docrem': docrem,
+               'remin_dn': remin_dn + remin2o, 'remin_su': remin_su}
+        return oc, diags, flx
     return oc, diags
 
 

@@ -24,6 +24,7 @@ from jax import lax
 from .params import BgcParams, BgcTracers as T
 
 SINKERS = (T.det, T.calc, T.opal, T.fdust)
+SPEED_CLASS = {'poc': 0, 'cal': 1, 'opal': 2, 'dust': 3}
 
 
 def sink_speeds(ptiestu, dtb, p: BgcParams):
@@ -39,19 +40,33 @@ def sink_speeds(ptiestu, dtb, p: BgcParams):
     return jnp.stack([wpoc, wcal, wopal, wdust])
 
 
-def sinking(oc, dz, ptiestu, omask, dtb, p: BgcParams):
+def sinking(oc, dz, ptiestu, omask, dtb, p: BgcParams, extra=()):
     """Advance sinking for one timestep.  Returns (oc, bottom_fluxes)
     where bottom_fluxes is a dict of prorca/prcaca/silpro/produs
-    [kmol m-2/timestep] (zeroed if redistributed by sedbypass)."""
-    w = sink_speeds(ptiestu, dtb, p)              # (4, K, J, I)
-    conc = oc[jnp.array(SINKERS)]                 # (4, K, J, I)
+    [kmol m-2/timestep] (zeroed if redistributed by sedbypass).
+
+    extra: tuple of (tracer_idx, speed_class, flux_name, redist_idx)
+    for additional sinkers riding the same speed fields — the carbon
+    isotopes det13/det14 (poc speed) and calc13/calc14 (cal speed)
+    (mo_vertical_fluxes.F90:208-217).  Under sedbypass the bottom flux
+    is returned to the water column at redist_idx (:496-526 — organic
+    isotopes stay detritus, shell isotopes remineralize to DIC
+    isotopes; the reference's flor14 line reads pror13, an apparent
+    typo fixed here)."""
+    cls = jnp.array(
+        list(range(len(SINKERS))) + [SPEED_CLASS[e[1]] for e in extra])
+    idxs = tuple(SINKERS) + tuple(e[0] for e in extra)
+    w = sink_speeds(ptiestu, dtb, p)[cls]         # (N, K, J, I)
+    conc = oc[jnp.array(idxs)]                    # (N, K, J, I)
     thick = dz > p.dp_min_sink                    # (K, J, I)
     wet = dz > p.dp_min
 
     # surface layer: no inflow; WLIN outflow speed clamps to wmin
-    # (mo_vertical_fluxes.F90:146-159)
+    # (mo_vertical_fluxes.F90:146-159) — applies to every poc-class row
     if p.use_wlin:
-        w = w.at[0, 0].set(p.wmin * dtb)
+        poc_rows = (cls == SPEED_CLASS['poc'])
+        w = w.at[:, 0].set(jnp.where(poc_rows[:, None, None],
+                                     p.wmin * dtb, w[:, 0]))
 
     tco = jnp.sum(jnp.where(wet[None], conc * dz[None], 0.), axis=1)
 
@@ -79,9 +94,11 @@ def sinking(oc, dz, ptiestu, omask, dtb, p: BgcParams):
     new_conc = jnp.where(wet[None], new_conc * q[:, None], new_conc)
     bot = bot * q
 
-    prorca, prcaca, silpro, produs = bot * omask[None]
+    bot = bot * omask[None]
+    prorca, prcaca, silpro, produs = bot[:4]
+    xbot = {e[2]: bot[4 + i] for i, e in enumerate(extra)}
 
-    for i, idx in enumerate(SINKERS):
+    for i, idx in enumerate(idxs):
         oc = oc.at[idx].set(jnp.where(omask > 0.5, new_conc[i], oc[idx]))
 
     if p.sedbypass:
@@ -97,6 +114,10 @@ def sinking(oc, dz, ptiestu, omask, dtb, p: BgcParams):
         oc = oc.at[T.sco212].add(flcaca)
         oc = oc.at[T.silica].add(flsil)
         z = jnp.zeros_like(prorca)
+        for i, e in enumerate(extra):
+            oc = oc.at[e[3]].add(jnp.where(wet, (bot[4 + i] / colz)[None],
+                                           0.))
+            xbot[e[2]] = z
         flx = {'prorca': z, 'prcaca': z, 'silpro': z, 'produs': produs,
                'carflx_bot': prorca * p.rcar, 'calflx_bot': prcaca,
                'bsiflx_bot': silpro}
@@ -104,4 +125,5 @@ def sinking(oc, dz, ptiestu, omask, dtb, p: BgcParams):
         flx = {'prorca': prorca, 'prcaca': prcaca, 'silpro': silpro,
                'produs': produs, 'carflx_bot': prorca * p.rcar,
                'calflx_bot': prcaca, 'bsiflx_bot': silpro}
+    flx.update(xbot)
     return oc, flx

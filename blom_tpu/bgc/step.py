@@ -52,10 +52,14 @@ def zero_bgc_forcing(shape, dtype=jnp.float64, swr=50., fu10=5.,
 
 
 def init_bgc_tracers(s: State, itrbgc: int, e: eos.EosParams,
-                     n: int = 0) -> State:
+                     n: int = 0, ti=None, cp=None) -> State:
     """Initial BGC tracer values (profile-climatology path replaced by
     the reference's constant fallbacks, mo_ini_fields.F90:196-236, plus
-    WOA-like uniform nutrient levels in BLOM per-mass units)."""
+    WOA-like uniform nutrient levels in BLOM per-mass units).  With
+    ti/cp, the carbon-isotope pools are set at the preindustrial
+    atmospheric ratio / biogenic fractionation (mo_ini_fields.F90:
+    166-200; ratios are per-mass-invariant so the concentration
+    formulas of ciso.init_ciso_tracers apply directly)."""
     trc = s.trc
     wet = (s.dp[n] > 0.).astype(trc.dtype)
 
@@ -82,6 +86,12 @@ def init_bgc_tracers(s: State, itrbgc: int, e: eos.EosParams,
     setc(T.iron, 0.6e-9)
     setc(T.dicsat, 1.e-8)
     setc(T.hi, 1.e-8)
+    if ti is not None and cp is not None:
+        from . import ciso as ciso_mod
+        for lev in range(trc.shape[0]):
+            blk = trc[lev, itrbgc:itrbgc + ti.ntotal]
+            blk = ciso_mod.init_ciso_tracers(blk, ti, cp, BgcParams())
+            trc = trc.at[lev, itrbgc:itrbgc + ti.ntotal].set(blk)
     return dataclasses.replace(s, trc=trc)
 
 
@@ -99,10 +109,16 @@ def _vgrid(dz, dp_min_sink, dp_ez):
 
 def hamocc_step(grid: Grid, e: eos.EosParams, par: BgcParams,
                 s: State, f: BgcForcing, itrbgc: int, n: int, nn: int,
-                dtsec, kmle: Optional[jax.Array] = None):
+                dtsec, kmle: Optional[jax.Array] = None,
+                ti=None, cp=None):
     """One BGC step on time level n (hamocc_step,
     mo_hamocc_step.F90:27-105).  nn is unused (single-copy design);
-    kept for signature parity with the reference's 2-level copy."""
+    kept for signature parity with the reference's 2-level copy.
+
+    ti/cp: optional extended tracer-index namespace + ciso parameters
+    — when both are given the block is ti.ntotal wide and the carbon-
+    isotope chain (bgc/ciso.py, the reference's use_cisonew) runs
+    alongside the base processes."""
     dtype = s.dp.dtype
     dp = s.dp[n]
     temp = s.temp[n]
@@ -120,7 +136,8 @@ def hamocc_step(grid: Grid, e: eos.EosParams, par: BgcParams,
     lyr = (dp > par.dp_min * onem) & (omask > 0.5)
     dz = jnp.where(lyr, dz, 0.)
 
-    oc = s.trc[n, itrbgc:itrbgc + NBGC] * bgc_rho[None]
+    ntot = ti.ntotal if ti is not None else NBGC
+    oc = s.trc[n, itrbgc:itrbgc + ntot] * bgc_rho[None]
     oc = oc.at[T.hi].set(s.trc[n, itrbgc + T.hi])   # hi is not a conc.
 
     ptiestu, euph, kbo = _vgrid(dz, par.dp_min_sink, par.dp_ez)
@@ -139,24 +156,52 @@ def hamocc_step(grid: Grid, e: eos.EosParams, par: BgcParams,
         jnp.where(wet0, f.dustdep * 0.035 * 0.01 / 55.85 / dz0, 0.))
 
     satoxy = carchm_mod.chem.sat_oxygen(temp, saln)
-    oc, prod_diags = processes.ocprod(oc, temp, dz, f.swr, satoxy, lyr,
-                                      dtb, par)
-    oc, bot_flx = sinking_mod.sinking(oc, dz, ptiestu, omask, dtb, par)
+    if cp is not None and ti is not None:
+        from . import ciso as ciso_mod
+        # co2star for the Laws-1997 fractionation, from the persistent
+        # pH tracer (the previous step's carbonate solve)
+        tcl = jnp.clip(temp, carchm_mod.chem.TEMP_MIN,
+                       carchm_mod.chem.TEMP_MAX)
+        scl = jnp.clip(saln, carchm_mod.chem.SALN_MIN,
+                       carchm_mod.chem.SALN_MAX)
+        keq = carchm_mod.chem.kequi(tcl, scl,
+                                    ptiestu * 98060. * 1.027e-6)
+        co2star = ciso_mod.co2star_from_hi(oc, rho, keq)
+        oc_pre = oc
+        oc, prod_diags, prod_flx = processes.ocprod(
+            oc, temp, dz, f.swr, satoxy, lyr, dtb, par,
+            return_fluxes=True)
+        oc_iso = ciso_mod.ocprod_ciso(oc_pre, ti, prod_flx, co2star,
+                                      lyr, dtb, par, cp)
+        iso_rows = jnp.array([getattr(ti, nm)
+                              for nm in ciso_mod.CISO_NAMES])
+        oc = oc.at[iso_rows].set(oc_iso[iso_rows])
+        extra = ciso_mod.extra_sinkers(ti)
+    else:
+        oc, prod_diags = processes.ocprod(oc, temp, dz, f.swr, satoxy,
+                                          lyr, dtb, par)
+        extra = ()
+    oc, bot_flx = sinking_mod.sinking(oc, dz, ptiestu, omask, dtb, par,
+                                      extra=extra)
 
     # trc_limitc (mo_trc_limitc.F90): clip small negatives on organics
-    for idx in (T.phy, T.zoo, T.det, T.doc, T.calc, T.opal, T.dms):
+    organics = [T.phy, T.zoo, T.det, T.doc, T.calc, T.opal, T.dms]
+    if ti is not None and cp is not None:
+        organics += [ti.phy13, ti.phy14, ti.zoo13, ti.zoo14, ti.det13,
+                     ti.det14, ti.doc13, ti.doc14, ti.calc13, ti.calc14]
+    for idx in organics:
         oc = oc.at[idx].set(jnp.maximum(oc[idx], 0.))
 
     oc, intnfix = processes.cyano(oc, temp, dz, euph, dtb, par)
     oc, satoxy, carb_diags = carchm_mod.carchm(
         oc, temp, saln, rho, dz, ptiestu, lyr, kmle,
-        f.swr, f.fu10, f.slp, f.fice, dtsec, par)
+        f.swr, f.fu10, f.slp, f.fice, dtsec, par, ti=ti, cp=cp)
 
     # --- hamocc2blom (mo_intfcblom.F90:396-470): back to per-mass
     trc_new = oc / bgc_rho[None]
     trc_new = trc_new.at[T.hi].set(oc[T.hi])
-    trc = s.trc.at[n, itrbgc:itrbgc + NBGC].set(
-        jnp.where(lyr[None], trc_new, s.trc[n, itrbgc:itrbgc + NBGC]))
+    trc = s.trc.at[n, itrbgc:itrbgc + ntot].set(
+        jnp.where(lyr[None], trc_new, s.trc[n, itrbgc:itrbgc + ntot]))
     s = dataclasses.replace(s, trc=trc)
 
     diags = dict(prod_diags)
