@@ -46,7 +46,7 @@ def _bgc_params():
 
 
 def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
-                use_idlage=False, use_bgc=False,
+                use_idlage=False, use_bgc=False, use_ciso=False,
                 vcoord='cntiso_hybrid') -> Model:
     """Assemble the fuk95 experiment (tests/fuk95/limits deck values)."""
     from ..configs import fuk95 as cfg
@@ -70,9 +70,17 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
 
     niag = 1 if use_idlage else 0
     itrbgc = niag if use_bgc else -1
+    bgc_ti = bgc_cp = None
     if use_bgc:
         from ..bgc import NBGC
-        ntr = niag + NBGC
+        if use_ciso:
+            from ..bgc.ciso import CisoParams
+            from ..bgc.params import make_tracer_index
+            bgc_ti = make_tracer_index(use_ciso=True)
+            bgc_cp = CisoParams()
+            ntr = niag + bgc_ti.ntotal
+        else:
+            ntr = niag + NBGC
     else:
         ntr = niag
     state = init.init_state(
@@ -90,7 +98,8 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
         ale=None if vcoord == 'isopyc_bulkml' else make_ale_params(kdm),
         itriag=0 if use_idlage else -1,
         itrbgc=itrbgc,
-        bgc=_bgc_params() if use_bgc else None)
+        bgc=_bgc_params() if use_bgc else None,
+        bgc_ti=bgc_ti, bgc_cp=bgc_cp)
 
     coeffs_i = cppm_mod.init_cppm_coeffs(
         np.asarray(grid.ip), np.asarray(grid.scpx), axis=-1,
@@ -106,7 +115,7 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
     bgc_forcing = None
     if use_bgc:
         from ..bgc.step import init_bgc_tracers, zero_bgc_forcing
-        state = init_bgc_tracers(state, itrbgc, e)
+        state = init_bgc_tracers(state, itrbgc, e, ti=bgc_ti, cp=bgc_cp)
         bgc_forcing = zero_bgc_forcing(grid.shape, dtype)
 
     return Model(grid=grid, e=e, par=par, coeffs_i=coeffs_i,

@@ -66,6 +66,8 @@ class StepParams(NamedTuple):
     itrgls: int = -1          # GLS psi tracer index
     itrbgc: int = -1          # start index of the BGC block, -1 = none
     bgc: object = None        # BgcParams when itrbgc >= 0
+    bgc_ti: object = None     # extended tracer-index namespace (ciso…)
+    bgc_cp: object = None     # ciso.CisoParams when carbon isotopes on
     nday_in_year: float = 360.
     difest: Optional[DifestParams] = DifestParams()
     thermf: Optional[ThermfParams] = ThermfParams()
@@ -227,7 +229,8 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     if par.itrbgc >= 0 and bgc_forcing is not None:
         from ..bgc.step import hamocc_step
         s, _ = hamocc_step(grid, e, par.bgc, s, bgc_forcing,
-                           par.itrbgc, n, m, delt1)
+                           par.itrbgc, n, m, delt1,
+                           ti=par.bgc_ti, cp=par.bgc_cp)
 
     if par.vcoord_isopyc:
         # bulk mixed layer (mxlayr, mod_blom_step.F90:191-193)

@@ -189,6 +189,24 @@ def test_full_step_13c_conserved_14c_decays(par, cp, ti):
     assert np.isfinite(np.asarray(s1.trc)).all()
 
 
+def test_ciso_e2e_fuk95(par, cp, ti):
+    """Full dynamics + BGC + carbon isotopes end-to-end: the isotope
+    tracers ride the CPPM advection/ALE remap; everything stays finite
+    and delta13C of DIC remains in a physical window."""
+    from blom_tpu.drivers import standalone
+
+    model = standalone.build_fuk95(itdm=16, jtdm=8, kdm=10,
+                                   use_bgc=True, use_ciso=True)
+    s, clock = standalone.run(model, 4)
+    trc = np.asarray(s.trc)
+    assert np.isfinite(trc).all()
+    dp = np.asarray(s.dp[0])
+    wet = dp > 1e-6
+    oc = jnp.asarray(trc[0])
+    d13 = np.asarray(ciso.delta13c(oc, ti, cp))[wet]
+    assert (d13 > -40.).all() and (d13 < 20.).all()
+
+
 def test_delta_diagnostics(par, cp, ti):
     """delta13C of DIC initialized at the preindustrial atmospheric
     ratio reads back prei13; Delta14C at the normalized ratio 1 reads
