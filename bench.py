@@ -29,6 +29,15 @@ def main():
     model = standalone.build_fuk95(dtype=dtype, itdm=itdm, jtdm=jtdm,
                                    kdm=kdm)
 
+    # enable the Eden-Greatbatch lateral diffusivity, GM eddy-induced
+    # transport and isopycnal diffusion so the benchmark measures the
+    # FULL production physics step (EGC=0.85 is the reference's
+    # production deck value, e.g. NorESM tnx1 limits &DIFFUSION), not
+    # the fuk95 idealized deck with those phases compiled out.
+    from blom_tpu.dynamics.difest import DifestParams
+    model.par = model.par._replace(
+        difest=DifestParams(egc=.85, egmndf=100.))
+
     two_step = make_two_step(model.grid, model.e, model.par,
                              model.coeffs_i, model.coeffs_j,
                              model.forcing, model.dfl)

@@ -175,6 +175,10 @@ class RunConfig:
     diffusion: DiffusionConfig = dataclasses.field(
         default_factory=DiffusionConfig)
 
+    # diagnostic output groups parsed from &DIAPHY (GLB_* arrays,
+    # mod_dia.F90:278-344); tuple of io.dia.DiaGroupCfg
+    dia_groups: tuple = ()
+
     # framework-level numerics (TPU-specific; no reference equivalent)
     dtype: str = 'float64'        # compute dtype for prognostic state
     sum_dtype: str = 'float64'    # dtype for global reductions
@@ -215,4 +219,7 @@ def load_limits(path: str) -> RunConfig:
                 tags, _aslist(g.get('cwmedg', [])),
                 _aslist(g.get('cwmi', [])), _aslist(g.get('cwmj', [])),
                 _aslist(g.get('cwmwth', []))))
+    if 'DIAPHY' in groups:
+        from ..io.dia import load_diaphy
+        cfg.dia_groups = tuple(load_diaphy(groups))
     return cfg

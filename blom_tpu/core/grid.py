@@ -84,6 +84,14 @@ class Grid:
         return self.depths.shape
 
     # ---- neighbor shifts respecting this grid's topology ----
+    #
+    # On tripolar grids (arctic=True) a j+1 read at the top row crosses
+    # the bipolar fold: the ghost is the i-mirrored (sign-flipped for
+    # vector components) value from below the fold, with per-grid-kind
+    # staggering (xctilr halo_ps..halo_vv, mod_xc.F90:2405-2700).
+    # Callers crossing the fold must tag the field's grid kind
+    # ('p'|'u'|'v'|'q') and vector-ness; untagged calls keep the closed
+    # (zero-ghost) behavior, which is correct only off the fold row.
 
     def im1(self, a):
         return stencil.im1(a, self.periodic_i)
@@ -94,10 +102,30 @@ class Grid:
     def jm1(self, a):
         return stencil.jm1(a, self.periodic_j)
 
-    def jp1(self, a):
+    def jp1(self, a, kind: str = None, vector: bool = False):
+        if self.arctic and kind is not None:
+            from ..parallel.arctic import jp1_arctic
+            return jp1_arctic(a, kind, vector)
         return stencil.jp1(a, self.periodic_j)
 
-    def shift(self, a, di=0, dj=0):
+    def jpn(self, a, m: int, kind: str = None, vector: bool = False):
+        """Neighbor at j+m (m >= 1), fold-aware when tagged."""
+        if self.arctic and kind is not None:
+            from ..parallel.arctic import fold_row
+            ghosts = [fold_row(a, kind, vector, mm)[..., None, :]
+                      for mm in range(m)]
+            ext = jnp.concatenate([a] + ghosts, axis=-2)
+            return ext[..., m:, :]
+        return stencil.shift(a, 0, m, self.periodic_i, self.periodic_j)
+
+    def shift(self, a, di=0, dj=0, kind: str = None,
+              vector: bool = False):
+        if dj > 0 and self.arctic and kind is not None:
+            out = self.jpn(a, dj, kind, vector)
+            if di:
+                out = stencil.shift(out, di, 0, self.periodic_i,
+                                    self.periodic_j)
+            return out
         return stencil.shift(a, di, dj, self.periodic_i, self.periodic_j)
 
 

@@ -58,7 +58,9 @@ def build_case(limits_path: str = None, cfg: RunConfig = None):
         barotp=BarotpParams(cwbdts=cfg.cwbdts, cwbdls=cfg.cwbdls,
                             mommth=cfg.mommth),
         pgfmth=cfg.pgfmth,
-        advmth=cfg.advmth)
+        advmth=cfg.advmth,
+        cppm_compatibility=cfg.cppm_compatibility,
+        cppm_limiting=cfg.cppm_limiting)
     return model, cfg
 
 
@@ -73,32 +75,79 @@ def run_case(model, cfg: RunConfig, rundir: str = '.',
     from ..io import dia as dia_mod
     from ..io import restart as rst
 
-    clock = model.clock
-    if nsteps is None:
-        nsteps = (cfg.nday2 - cfg.nday1) * clock.nstep_in_day
-    group = dia_mod.init_group(model.grid, model.state, dia_fields)
+    import math
 
-    steps_per_chunk = clock.nstep_in_day
+    from ..dynamics import chkvar as chk_mod
+    from ..dynamics.budget import budget_deltas
+
+    clock = model.clock
+    nspd = clock.nstep_in_day
+    if nsteps is None:
+        nsteps = (cfg.nday2 - cfg.nday1) * nspd
+
+    # diagnostic groups: from the deck's &DIAPHY (GLB_* arrays,
+    # mod_dia.F90:278-344) or a single default group over `dia_fields`
+    gcfgs = list(cfg.dia_groups)
+    if not gcfgs:
+        gcfgs = [dia_mod.DiaGroupCfg(
+            fnametag='hd', aveperio=max(1, cfg.nday2 - cfg.nday1),
+            fields=tuple(dia_fields))]
+    groups = tuple(
+        dia_mod.init_group(model.grid, model.state, gc.fields,
+                           forcing=model.forcing, dfl=model.dfl)
+        for gc in gcfgs)
+    periods = [gc.steps_per_output(nspd) for gc in gcfgs]
+
+    # the chunk length must divide every output period so alarms fire
+    # on chunk boundaries (diaout_alarms, mod_dia.F90:2200-2311)
+    chunk = nspd
+    for p in periods:
+        chunk = math.gcd(chunk, p)
+
     s = model.state
     done = 0
     while done < nsteps:
-        n = min(steps_per_chunk, nsteps - done)
-        s, clock2 = standalone.run(model, n)
+        n = min(chunk, nsteps - done)
+        # per-step dia accumulation, chkvar guard and (cnsvdi-gated)
+        # budget checkpoints ride the jitted scan
+        # (diaacc/chkvar/budget_sums in-step, mod_blom_step.F90:96-252)
+        s, clock2, extras = standalone.run(model, n, dia_group=groups,
+                                           cnsvdi=cfg.cnsvdi, chk=True)
+        groups = extras['dia_group']
         model.state = s
         model.clock = clock2
         clock = clock2
+        ok = np.asarray(extras['ok'])
+        if not ok.all():
+            bad_step = int(np.argmin(ok))
+            nstep_abs = clock.nstep - n + bad_step + 1
+            lev = 1 - (nstep_abs - 1) % 2
+            chk_mod.chkvar_host(model.grid, s, lev, nstep=nstep_abs)
+        if cfg.cnsvdi:
+            b = extras['budgets']   # leaves (nsteps_chunk, ncheck)
+            import jax.tree_util as jtu
+            first = jtu.tree_map(lambda a: a[0, 0], b)
+            last = jtu.tree_map(lambda a: a[-1, -1], b)
+            print(f'budget deltas over steps {done + 1}..{done + n}: '
+                  f'{budget_deltas(first, last)}')
         done += n
-        lev = (1 - done % 2)
-        group = dia_mod.accumulate(model.grid, group, s, lev)
+        # per-group output alarms (diaout, mod_dia.F90:2311-3300)
+        groups = list(groups)
+        for gi, (gc, period) in enumerate(zip(gcfgs, periods)):
+            if done % period == 0 or done == nsteps:
+                path = os.path.join(
+                    rundir, dia_mod.diafnm(cfg.runid, gc.fnametag,
+                                           clock.time))
+                writer = (dia_mod.write_netcdf_compressed
+                          if gc.compflag else dia_mod.write_netcdf)
+                writer(path, model.grid, groups[gi], clock.time)
+                groups[gi] = dia_mod.reset(groups[gi])
+        groups = tuple(groups)
         # restart alarm (rstfrq days; restart_write naming,
         # mod_restart.F90:1143-1200)
-        if cfg.rstfrq > 0 and (done % (cfg.rstfrq * steps_per_chunk)
-                               == 0):
+        if cfg.rstfrq > 0 and done % (cfg.rstfrq * nspd) == 0:
             rst.restart_write_rotating(rundir, cfg.runid, s, clock)
 
-    dia_path = os.path.join(rundir, f'{cfg.runid}_dia.nc')
-    dia_mod.write_netcdf(dia_path, model.grid, group,
-                         time_days=clock.time)
     rst.restart_write_rotating(rundir, cfg.runid, s, clock)
 
     # final global dp checksum + run.status (blom.F:56-64)

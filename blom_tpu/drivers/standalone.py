@@ -106,7 +106,7 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
         periodic=grid.periodic_i, dtype=dtype)
     coeffs_j = cppm_mod.init_cppm_coeffs(
         np.asarray(grid.ip), np.asarray(grid.scpy), axis=-2,
-        periodic=grid.periodic_j, dtype=dtype)
+        periodic=grid.periodic_j, dtype=dtype, arctic=grid.arctic)
 
     forcing = zero_forcing(kdm, grid.shape, dtype)
     dfl = zero_diffusion_fields(kdm, grid.shape, dtype)
@@ -124,18 +124,29 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
                  bgc_forcing=bgc_forcing)
 
 
-def run(model: Model, nsteps: int) -> Tuple[State, modeltime.ModelTime]:
+def run(model: Model, nsteps: int, dia_group=None, cnsvdi: bool = False,
+        chk: bool = False):
     """Integrate `nsteps` baroclinic steps from the current clock.
 
     The first step from initial conditions is forward (delt1 = baclin);
-    later steps leap-frog (delt1 = 2*baclin) — mod_time.F90:49-55."""
+    later steps leap-frog (delt1 = 2*baclin) — mod_time.F90:49-55.
+
+    In-step instrumentation (the reference's diaacc/budget_sums/chkvar,
+    mod_blom_step.F90:96-252): pass `dia_group` (a DiaGroup) to
+    accumulate diagnostics after every step inside the scan; `cnsvdi`
+    to collect per-checkpoint budget sums; `chk` for a per-step
+    all-finite flag.  Returns (state, clock) — plus an extras dict
+    with keys 'dia_group'/'budgets'/'ok' when any of those are on."""
     s = model.state
     clock = model.clock
+    with_dia = dia_group is not None
+    extras_on = with_dia or cnsvdi or chk
 
     two_step = make_two_step(model.grid, model.e, model.par,
                              model.coeffs_i, model.coeffs_j,
                              model.forcing, model.dfl, model.swabs,
-                             model.bgc_forcing)
+                             model.bgc_forcing, with_dia=with_dia,
+                             cnsvdi=cnsvdi, chk=chk)
 
     @jax.jit
     def run_pairs(carry, delt1_pairs):
@@ -150,20 +161,71 @@ def run(model: Model, nsteps: int) -> Tuple[State, modeltime.ModelTime]:
     n_even = (nsteps // 2) * 2
 
     dfl = model.dfl
+    ys = None
     if n_even:
         pairs = (jnp.asarray(delt1s[0:n_even:2]),
                  jnp.asarray(delt1s[1:n_even:2]))
-        (s, dfl), _ = run_pairs((s, dfl), pairs)
+        carry = (s, dfl, dia_group) if with_dia else (s, dfl)
+        carry, ys = run_pairs(carry, pairs)
+        if with_dia:
+            s, dfl, dia_group = carry
+        else:
+            s, dfl = carry
     if nsteps % 2:
         # odd tail: single step at the pair's first parity
-        s, dfl = jax.jit(
-            lambda s, dfl, d: blom_step(model.grid, model.e, model.par,
-                                        model.coeffs_i, model.coeffs_j,
-                                        s, model.forcing, dfl, 0, 1, d,
-                                        model.swabs, model.bgc_forcing)
-        )(s, dfl, jnp.asarray(delt1s[-1], s.pb.dtype))
+        def tail(s, dfl, d):
+            bout = [] if cnsvdi else None
+            s, dfl = blom_step(model.grid, model.e, model.par,
+                               model.coeffs_i, model.coeffs_j,
+                               s, model.forcing, dfl, 0, 1, d,
+                               model.swabs, model.bgc_forcing,
+                               budget_out=bout)
+            tys = {}
+            if cnsvdi:
+                tys['budgets'] = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *bout)
+            if chk:
+                from ..dynamics.chkvar import chkvar as _chkvar
+                tys['ok'] = _chkvar(model.grid, s, 1)[0]
+            return s, dfl, tys
+
+        s, dfl, tys = jax.jit(tail)(s, dfl,
+                                    jnp.asarray(delt1s[-1], s.pb.dtype))
+        if with_dia:
+            from ..io.dia import accumulate
+
+            def _acc1(g, s, d):
+                if isinstance(g, (tuple, list)):
+                    return type(g)(accumulate(model.grid, gi, s, 1,
+                                              model.forcing, d)
+                                   for gi in g)
+                return accumulate(model.grid, g, s, 1, model.forcing, d)
+
+            dia_group = jax.jit(_acc1)(dia_group, s, dfl)
+        if extras_on and tys:
+            if ys is None:
+                ys = jax.tree.map(lambda x: x[None], tys)
+            else:
+                # ys from the scan has shape (npairs, 2, ...): flatten
+                # pairs then append the tail step
+                ys = jax.tree.map(
+                    lambda a, b: jnp.concatenate(
+                        [a.reshape((-1,) + a.shape[2:]), b[None]]), ys, tys)
+    elif extras_on and ys is not None:
+        ys = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), ys)
+
     model.dfl = dfl
-    return s, c
+    if not extras_on:
+        return s, c
+    extras = {}
+    if with_dia:
+        extras['dia_group'] = dia_group
+    if ys:
+        if cnsvdi:
+            extras['budgets'] = ys['budgets']
+        if chk:
+            extras['ok'] = ys['ok']
+    return s, c, extras
 
 
 def build_channel(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
@@ -201,7 +263,7 @@ def build_channel(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
         periodic=grid.periodic_i, dtype=dtype)
     coeffs_j = cppm_mod.init_cppm_coeffs(
         np.asarray(grid.ip), np.asarray(grid.scpy), axis=-2,
-        periodic=grid.periodic_j, dtype=dtype)
+        periodic=grid.periodic_j, dtype=dtype, arctic=grid.arctic)
 
     forcing = zero_forcing(kdm, grid.shape, dtype)
     taux, tauy = cfg.wind_stress(grid.shape, ztx0)
@@ -250,7 +312,53 @@ def build_single_column(dtype=jnp.float64, kdm=None, baclin=1800.,
         periodic=grid.periodic_i, dtype=dtype)
     coeffs_j = cppm_mod.init_cppm_coeffs(
         np.asarray(grid.ip), np.asarray(grid.scpy), axis=-2,
-        periodic=grid.periodic_j, dtype=dtype)
+        periodic=grid.periodic_j, dtype=dtype, arctic=grid.arctic)
+
+    forcing = zero_forcing(kdm, grid.shape, dtype)
+    dfl = zero_diffusion_fields(kdm, grid.shape, dtype)
+    swabs = init_swabs(grid.shape, 'jerlov', 3, dtype)
+
+    return Model(grid=grid, e=e, par=par, coeffs_i=coeffs_i,
+                 coeffs_j=coeffs_j, clock=clock, state=state,
+                 forcing=forcing, dfl=dfl, swabs=swabs)
+
+
+def build_tripolar(dtype=jnp.float64, itdm=32, jtdm=24, kdm=6,
+                   baclin=180., batrop=6.) -> Model:
+    """Assemble the synthetic tripolar-fold experiment
+    (configs/tripolar.py): i-periodic, closed south, Arctic bipolar
+    fold on the top row (nreg=2 topology, mod_xc.F90:2405-2700)."""
+    from ..configs import tripolar as cfg
+    from ..dynamics.ale import make_ale_params
+    from ..parallel.arctic import sync_state
+
+    clock = modeltime.init_timevars('fuk95', baclin, batrop,
+                                    20000101, 20000101)
+    grid = cfg.make_grid(baclin, itdm, jtdm, kdm, dtype=dtype)
+    e = eos.init_eos(pref=0., expcnf='fuk95')
+
+    z, temp, saln, sigmar, phi = cfg.initial_profiles(itdm, jtdm, kdm)
+
+    state = init.init_state(
+        grid, e, phi=phi, temp=temp, saln=saln, sigmar=sigmar,
+        delt1=baclin, dlt=clock.dlt, dtype=dtype)
+    # enforce the fold-duplicated top row on the initial state
+    state = sync_state(state)
+
+    par = StepParams(
+        baclin=baclin, lstep=clock.lstep, dlt=clock.dlt,
+        momtum=MomtumParams(vsc2hi=.2, vsc2lo=.2, cbar=.05, cb=.002,
+                            mommth='enscon'),
+        barotp=BarotpParams(cwbdts=0., cwbdls=25., mommth='enscon'),
+        pgfmth='dynamic enthalpy', vcoord_isopyc=False,
+        ale=make_ale_params(kdm))
+
+    coeffs_i = cppm_mod.init_cppm_coeffs(
+        np.asarray(grid.ip), np.asarray(grid.scpx), axis=-1,
+        periodic=grid.periodic_i, dtype=dtype)
+    coeffs_j = cppm_mod.init_cppm_coeffs(
+        np.asarray(grid.ip), np.asarray(grid.scpy), axis=-2,
+        periodic=grid.periodic_j, dtype=dtype, arctic=True)
 
     forcing = zero_forcing(kdm, grid.shape, dtype)
     dfl = zero_diffusion_fields(kdm, grid.shape, dtype)

@@ -25,7 +25,9 @@ from .diffusion_fields import DiffusionFields
 def advect(grid: Grid, s: State, dfl: DiffusionFields,
            coeffs_i: CppmCoeffs, coeffs_j: CppmCoeffs,
            m: int, n: int, delt1, dlt,
-           advmth: str = 'cppm') -> State:
+           advmth: str = 'cppm',
+           cppm_compatibility: str = 'full',
+           cppm_limiting: str = 'non_oscillatory') -> State:
     iu, iv, ip = grid.iu, grid.iv, grid.ip
 
     # ---- flux areas (mod_advect.F90:71-94)
@@ -46,6 +48,10 @@ def advect(grid: Grid, s: State, dfl: DiffusionFields,
     s = dataclasses.replace(s, cau=cau, cav=cav)
 
     if advmth == 'remap':
+        if grid.arctic:
+            raise NotImplementedError(
+                "advmth='remap' does not support tripolar grids yet; "
+                "use advmth='cppm' (fold-aware j-sweeps)")
         return _advect_remap(grid, s, m, n)
 
     # ---- CPPM Strang-split sweeps (mod_cppm.F90:2748-2834): i first on
@@ -70,24 +76,46 @@ def advect(grid: Grid, s: State, dfl: DiffusionFields,
     def sweep_i(h, tm, second):
         div = None
         if second:
-            div = (grid.jp1(cav) - cav)
+            div = (grid.jp1(cav, 'v', True) - cav)
         hn, tmn, hf, htf = cppm_sweep(
             h, tm, cau, s.pbu[n], p[:-1], p[1:], grid.scp2i,
-            coeffs_i, grid.periodic_i, div_corr=div)
+            coeffs_i, grid.periodic_i, div_corr=div,
+            compatibility=cppm_compatibility, limiting=cppm_limiting)
         return hn, tmn, hf, htf
 
     def sweep_j(h, tm, second):
         # run the same 1-D kernel with i<->j swapped (mod_cppm.F90's
-        # *_j kernels operate on permuted (j, i) arrays, :2731-2744)
+        # *_j kernels operate on permuted (j, i) arrays, :2731-2744).
+        # On tripolar grids the sweep domain is extended by fold ghost
+        # rows so the stencil reads across the bipolar seam (the
+        # reference's (0,3) halo update, mod_cppm.F90:1956-1960).
         def T(a):
             return jnp.swapaxes(a, -1, -2)
+
+        if grid.arctic:
+            from ..parallel.arctic import fold_row
+            from .cppm import NGHOST_ARCTIC
+
+            def ext(a, kind, vector=False):
+                gh = [fold_row(a, kind, vector, mm)[..., None, :]
+                      for mm in range(NGHOST_ARCTIC)]
+                return jnp.concatenate([a] + gh, axis=-2)
+        else:
+            def ext(a, kind, vector=False):
+                return a
+
+        jdm = h.shape[-2]
         div = None
         if second:
-            div = T(grid.ip1(cau) - cau)
+            div = T(ext(grid.ip1(cau) - cau, 'p'))
         hn, tmn, hf, htf = cppm_sweep(
-            T(h), T(tm), T(cav), T(s.pbv[n]), T(p[:-1]), T(p[1:]),
-            T(grid.scp2i), coeffs_j, grid.periodic_j, div_corr=div)
-        return T(hn), T(tmn), T(hf), T(htf)
+            T(ext(h, 'p')), T(ext(tm, 'p')), T(ext(cav, 'v', True)),
+            T(ext(s.pbv[n], 'v')), T(ext(p[:-1], 'p')),
+            T(ext(p[1:], 'p')), T(ext(grid.scp2i, 'p')), coeffs_j,
+            grid.periodic_j, div_corr=div,
+            compatibility=cppm_compatibility, limiting=cppm_limiting)
+        return (T(hn)[..., :jdm, :], T(tmn)[..., :jdm, :],
+                T(hf)[..., :jdm, :], T(htf)[..., :jdm, :])
 
     if i_first:
         h1, tm1, hfu, htfu = sweep_i(h, tm, False)
@@ -135,7 +163,7 @@ def _advect_remap(grid: Grid, s: State, m: int, n: int) -> State:
     w_ok = grid.iu > 0.
     e_ok = grid.ip1(grid.iu) > 0.
     s_ok = grid.iv > 0.
-    n_ok = grid.jp1(grid.iv) > 0.
+    n_ok = grid.jp1(grid.iv, 'v') > 0.
 
     def nb(a, di, dj, iok, jok):
         cand = grid.shift(a, di, dj)

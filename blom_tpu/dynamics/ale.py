@@ -238,6 +238,7 @@ def regrid_smooth(grid: Grid, ale: AleParams, p_dst, smooth_fac, delt1):
     """Lateral flux-limited diffusion of weakly stratified interfaces
     (regrid_smooth_jslice, mod_ale_regrid_remap.F90:946-1020)."""
     im1, ip1, jm1, jp1 = grid.im1, grid.ip1, grid.jm1, grid.jp1
+    jp1vv = lambda a: grid.jp1(a, 'v', True)   # noqa: E731 (fold-aware)
     iu, iv, ip = grid.iu, grid.iv, grid.ip
 
     pd = p_dst                       # (kk+1, H)
@@ -268,7 +269,7 @@ def regrid_smooth(grid: Grid, ale: AleParams, p_dst, smooth_fac, delt1):
     flxv = jnp.clip(cdiffv * sdiffv * (jm1(pd[1:-1]) - pd[1:-1]),
                     flxlov, flxhiv) * iv
 
-    conv = (ip1(flxu) - flxu + jp1(flxv) - flxv)
+    conv = (ip1(flxu) - flxu + jp1vv(flxv) - flxv)
     p_new_mid = (pd[1:-1] - conv * grid.scp2i) * ip
     return jnp.concatenate([pd[:1], p_new_mid, pd[-1:]], axis=0)
 

@@ -51,6 +51,11 @@ def barotp(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
     kk = grid.kk
     ip, iu, iv, iq = grid.ip, grid.iu, grid.iv, grid.iq
     im1, ip1, jm1, jp1 = grid.im1, grid.ip1, grid.jm1, grid.jp1
+    # fold-aware j+1 reads (tripolar): v-grid vectors flip sign, q-grid
+    # scalars mirror (mod_xc.F90:2405-2700; barotp's arctic halo swaps,
+    # mod_barotp.F90:290-319)
+    jp1vv = lambda a: grid.jp1(a, 'v', True)    # noqa: E731
+    jp1q = lambda a: grid.jp1(a, 'q')           # noqa: E731
 
     # ---- velocity bounds and coastal damping (mod_barotp.F90:168-225)
     u_n_max = jnp.max(jnp.maximum(s.u[n], 0.), axis=0)
@@ -124,10 +129,10 @@ def barotp(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
         enscon / :471-480 enecon)."""
         vsx = vb_src * grid.scvxi
         if par.mommth == 'enscon':
-            return (vsx + jp1(vsx) + im1(vsx) + im1(jp1(vsx))) \
-                * (pvt_w + jp1(pvt_w)) * .125
+            return (vsx + jp1vv(vsx) + im1(vsx) + im1(jp1vv(vsx))) \
+                * (pvt_w + jp1q(pvt_w)) * .125
         return .25 * ((vsx + im1(vsx)) * pvt_w
-                      + (jp1(vsx) + im1(jp1(vsx))) * jp1(pvt_w))
+                      + (jp1vv(vsx) + im1(jp1vv(vsx))) * jp1q(pvt_w))
 
     def coriolis_v(ub_src, pvt_w):
         usy = ub_src * grid.scuyi
@@ -140,7 +145,7 @@ def barotp(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
     def continuity(pb_ml, pb_nl, ubf_ml, vbf_ml):
         return ((1. - wbaro) * pb_ml + wbaro * pb_nl
                 - (1. + wbaro) * dlt
-                * (ip1(ubf_ml) - ubf_ml + jp1(vbf_ml) - vbf_ml)
+                * (ip1(ubf_ml) - ubf_ml + jp1vv(vbf_ml) - vbf_ml)
                 * grid.scp2i) * ip
 
     def u_update(ubf_ml, ubf_nl, pb_nl, utndcy):

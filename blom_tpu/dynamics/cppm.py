@@ -18,7 +18,21 @@ Instead of the reference's per-row 1-D scratch arrays, each sweep is a
 dense (ntr|k, jdm, idm) computation with shifts along the sweep axis; the
 j-sweep runs the same kernel on axis-swapped arrays (the reference
 permutes to (j, i) layout the same way, mod_cppm.F90:2731-2744).
-Monotonic limiting and 'partial compatibility' are later-round additions.
+
+All four reference kernel families are available, selected by the
+`compatibility` ('full' | 'partial') and `limiting` ('non_oscillatory' |
+'monotonic') arguments of `cppm_sweep`, mirroring the reference's
+cppm_{fc,pc}_{nosc,mono}_{i,j} dispatch (mod_cppm.F90:1470-2498,
+selection at :2748-2834):
+
+- full + non_oscillatory: tracer edges from compatible per-cell LU
+  solves; limiting gated by a d2 extrema detector
+  (parabola_coeffs_fc_nosc, :490-818);
+- full + monotonic: compatible edges, unconditional PPM limiting
+  (parabola_coeffs_fc_mono, :820-1116);
+- partial + non_oscillatory/monotonic: tracer edges from the same
+  4th-order thickness coefficients (not compatible), simple parabola
+  coefficients (parabola_coeffs_pc_nosc/_mono, :1118-1371).
 """
 
 from __future__ import annotations
@@ -181,12 +195,27 @@ def _set_stencil_coeffs_np(sm, dx):
     return st, hevc, tmc0, tmcl, tmcr
 
 
+NGHOST_ARCTIC = 3   # fold ghost rows for the j-sweep (the reference's
+                    # (0,3) xctilr halo width, mod_cppm.F90:1956-1960)
+
+
 def init_cppm_coeffs(ip_np: np.ndarray, dx_np: np.ndarray, axis: int,
-                     periodic: bool, dtype=jnp.float64) -> CppmCoeffs:
+                     periodic: bool, dtype=jnp.float64,
+                     arctic: bool = False) -> CppmCoeffs:
     """Build sweep coefficients for a direction (init_cppm,
     mod_cppm.F90:2504-2746).  `ip_np` and `dx_np` are (jdm, idm); `axis`
     is the sweep axis (-1: i, -2: j).  Returned arrays have the sweep
-    axis LAST (for -2, arrays are transposed)."""
+    axis LAST (for -2, arrays are transposed).
+
+    With `arctic` (j-sweep on a tripolar grid) the domain is extended by
+    NGHOST_ARCTIC fold ghost rows (p-grid mirror: ghost jj+1+m =
+    i-reversed row jj-2-m, mod_xc.F90:2430-2442) so the sweep sees the
+    correct stencil across the bipolar seam."""
+    if arctic and axis == -2:
+        gh_ip = [ip_np[-3 - mm][::-1][None] for mm in range(NGHOST_ARCTIC)]
+        gh_dx = [dx_np[-3 - mm][::-1][None] for mm in range(NGHOST_ARCTIC)]
+        ip_np = np.concatenate([ip_np] + gh_ip, axis=0)
+        dx_np = np.concatenate([dx_np] + gh_dx, axis=0)
     if axis == -2:
         ip_np = ip_np.T
         dx_np = dx_np.T
@@ -312,6 +341,40 @@ def _h_edges_nosc(co: CppmCoeffs, hm, periodic):
     qq = 3. * hm / (3. * sl * sr + 4. * a2 * a2)
     hel = jnp.where(cond, sl * sl * qq, hel)
     her = jnp.where(cond, sr * sr * qq, her)
+    return hel, her
+
+
+def _h_edges_mono(co: CppmCoeffs, hm, periodic):
+    """Thickness edge reconstruction with unconditional monotonic
+    limiting (h_edges_mono, mod_cppm.F90:436-488)."""
+    he = (co.hevc[0] * _sh(hm, -2, periodic) + co.hevc[1] * _sh(hm, -1, periodic)
+          + co.hevc[2] * hm + co.hevc[3] * _sh(hm, 1, periodic))
+    hel = he
+    her = _sh(he, 1, periodic)
+
+    hm_m = _sh(hm, -1, periodic)
+    hm_p = _sh(hm, 1, periodic)
+    sl = co.ssc * (hm - hm_m)
+    sr = co.ssc * (hm_p - hm)
+    has_slope = sl * sr > 0.
+    sc = _minmod3(sl, sr, co.scc * (hm_p - hm_m))
+
+    hel2 = jnp.where((hm_m - hel) * (hm - hel) > 0.,
+                     hm - jnp.sign(sc) * jnp.minimum(.5 * jnp.abs(sc),
+                                                     jnp.abs(hel - hm)),
+                     hel)
+    her2 = jnp.where((hm_p - her) * (hm - her) > 0.,
+                     hm + jnp.sign(sc) * jnp.minimum(.5 * jnp.abs(sc),
+                                                     jnp.abs(her - hm)),
+                     her)
+    d = her2 - hel2
+    q = d * (2. * hm - hel2 - her2)
+    r = d * d / 3.
+    hel3 = jnp.where(q > r, 3. * hm - 2. * her2, hel2)
+    her3 = jnp.where(-r > q, 3. * hm - 2. * hel2, her2)
+
+    hel = jnp.where(has_slope, hel3, hm)
+    her = jnp.where(has_slope, her3, hm)
     return hel, her
 
 
@@ -501,6 +564,178 @@ def _parabola_coeffs_fc_nosc(co: CppmCoeffs, hm, tm, hel, her, periodic):
     return (hpc0, hpc1, hpc2), (tpc0, tpc1, tpc2)
 
 
+def _parabola_coeffs_fc_mono(co: CppmCoeffs, hm, tm, hel, her, periodic):
+    """Compatible tracer edges + unconditional monotonic limiting
+    (parabola_coeffs_fc_mono, mod_cppm.F90:820-1116)."""
+    tevc = _tracer_edge_coeffs(co, hm, hel, her, periodic)
+
+    te = (tevc[0] * _sh(tm, -2, periodic) + tevc[1] * _sh(tm, -1, periodic)
+          + tevc[2] * tm + tevc[3] * _sh(tm, 1, periodic))
+    tel = te
+    ter = _sh(te, 1, periodic)
+
+    # thickness-dependent parabola factors (mod_cppm.F90:1063-1071)
+    qh = 1.0 / (12. * hm - hel - her)
+    hf1m = 60. * hm * qh
+    hf1l = -(42. * hm + 4. * hel - 6. * her) * qh
+    hf1r = -(18. * hm - 4. * hel + 6. * her) * qh
+    hf2m = -hf1m
+    hf2l = 5. * (6. * hm + hel - her) * qh
+    hf2r = 5. * (6. * hm - hel + her) * qh
+
+    tm_m = _sh(tm, -1, periodic)
+    tm_p = _sh(tm, 1, periodic)
+    sl = co.ssc * (tm - tm_m)
+    sr = co.ssc * (tm_p - tm)
+    has_slope = sl * sr > 0.
+    sc = _minmod3(sl, sr, co.scc * (tm_p - tm_m))
+
+    tel2 = jnp.where((tm_m - tel) * (tm - tel) > 0.,
+                     tm - jnp.sign(sc) * jnp.minimum(.5 * jnp.abs(sc),
+                                                     jnp.abs(tel - tm)),
+                     tel)
+    ter2 = jnp.where((tm_p - ter) * (tm - ter) > 0.,
+                     tm + jnp.sign(sc) * jnp.minimum(.5 * jnp.abs(sc),
+                                                     jnp.abs(ter - tm)),
+                     ter)
+    # derivative-sign fix (mod_cppm.F90:1087-1098), same formulas as the
+    # nosc variant but applied unconditionally within the sloped region
+    sl2 = hf1m * tm + hf1l * tel2 + hf1r * ter2
+    a2 = hf2m * tm + hf2l * tel2 + hf2r * ter2
+    sr2 = sl2 + 2. * a2
+    fix = sl2 * sr2 < 0.
+    left_fix = (ter2 - tel2) * a2 < 0.
+    tel3 = jnp.where(
+        fix & left_fix,
+        -((hf1m + 2. * hf2m) * tm + (hf1r + 2. * hf2r) * ter2)
+        / (hf1l + 2. * hf2l),
+        tel2)
+    ter3 = jnp.where(
+        fix & ~left_fix,
+        -(hf1m * tm + hf1l * tel3) / hf1r,
+        ter2)
+
+    tel = jnp.where(has_slope, tel3, tm)
+    ter = jnp.where(has_slope, ter3, tm)
+
+    hpc0 = hel
+    hpc1 = 6. * hm - 4. * hel - 2. * her
+    hpc2 = 3. * (hel - 2. * hm + her)
+    tpc0 = tel
+    tpc1 = hf1m * tm + hf1l * tel + hf1r * ter
+    tpc2 = hf2m * tm + hf2l * tel + hf2r * ter
+    return (hpc0, hpc1, hpc2), (tpc0, tpc1, tpc2)
+
+
+def _pc_tracer_edges(co: CppmCoeffs, tm, periodic):
+    """4th-order tracer edges from the thickness coefficients — the
+    non-compatible ('partial compatibility') estimate
+    (parabola_coeffs_pc_*, mod_cppm.F90:1143-1155)."""
+    te = (co.hevc[0] * _sh(tm, -2, periodic)
+          + co.hevc[1] * _sh(tm, -1, periodic)
+          + co.hevc[2] * tm + co.hevc[3] * _sh(tm, 1, periodic))
+    return te, _sh(te, 1, periodic)
+
+
+def _parabola_coeffs_pc_nosc(co: CppmCoeffs, hm, tm, hel, her, periodic):
+    """Non-compatible tracer edges + d2-gated non-oscillatory limiting
+    (parabola_coeffs_pc_nosc, mod_cppm.F90:1118-1264).  hel/her are the
+    already-limited thickness edges (h part identical to
+    h_edges_nosc)."""
+    tel, ter = _pc_tracer_edges(co, tm, periodic)
+
+    d2t = co.d2m * (tel - 2. * tm + ter)
+    need = (_sh(d2t, -1, periodic) * d2t <= 0.) \
+        | (d2t * _sh(d2t, 1, periodic) <= 0.)
+
+    tm_m = _sh(tm, -1, periodic)
+    tm_p = _sh(tm, 1, periodic)
+    sl = co.ssc * (tm - tm_m)
+    sr = co.ssc * (tm_p - tm)
+    has_slope = sl * sr > 0.
+    sc = _minmod3(sl, sr, co.scc * (tm_p - tm_m))
+
+    tel2 = jnp.where((tm_m - tel) * (tm - tel) > 0.,
+                     tm - jnp.sign(sc) * jnp.minimum(.5 * jnp.abs(sc),
+                                                     jnp.abs(tel - tm)),
+                     tel)
+    ter2 = jnp.where((tm_p - ter) * (tm - ter) > 0.,
+                     tm + jnp.sign(sc) * jnp.minimum(.5 * jnp.abs(sc),
+                                                     jnp.abs(ter - tm)),
+                     ter)
+    d = ter2 - tel2
+    q = d * (2. * tm - tel2 - ter2)
+    r = d * d / 3.
+    tel3 = jnp.where(q > r, 3. * tm - 2. * ter2, tel2)
+    ter3 = jnp.where(-r > q, 3. * tm - 2. * tel2, ter2)
+
+    tel_l = jnp.where(has_slope, tel3, tm)
+    ter_l = jnp.where(has_slope, ter3, tm)
+    tel = jnp.where(need, tel_l, tel)
+    ter = jnp.where(need, ter_l, ter)
+
+    # positivity for saln/passive tracers (mod_cppm.F90:1239-1252)
+    nt = tm.shape[0]
+    pos = (jnp.arange(nt) >= 1).reshape((nt,) + (1,) * (tm.ndim - 1))
+    tel_p = jnp.maximum(tel, 0.)
+    ter_p = jnp.maximum(ter, 0.)
+    sl3 = 2. * (3. * tm - 2. * tel_p - ter_p)
+    a23 = 3. * (tel_p - 2. * tm + ter_p)
+    sr3 = sl3 + 2. * a23
+    condp = (sl3 < 0.) & (sr3 > 0.) & (a23 * tel_p - .25 * sl3 * sl3 < 0.)
+    qq = 3. * tm / (3. * sl3 * sr3 + 4. * a23 * a23)
+    tel_p2 = jnp.where(condp, sl3 * sl3 * qq, tel_p)
+    ter_p2 = jnp.where(condp, sr3 * sr3 * qq, ter_p)
+    tel = jnp.where(pos, tel_p2, tel)
+    ter = jnp.where(pos, ter_p2, ter)
+
+    hpc0 = hel
+    hpc1 = 6. * hm - 4. * hel - 2. * her
+    hpc2 = 3. * (hel - 2. * hm + her)
+    tpc0 = tel
+    tpc1 = 6. * tm - 4. * tel - 2. * ter
+    tpc2 = 3. * (tel - 2. * tm + ter)
+    return (hpc0, hpc1, hpc2), (tpc0, tpc1, tpc2)
+
+
+def _parabola_coeffs_pc_mono(co: CppmCoeffs, hm, tm, hel, her, periodic):
+    """Non-compatible tracer edges + unconditional monotonic limiting
+    (parabola_coeffs_pc_mono, mod_cppm.F90:1266-1371)."""
+    tel, ter = _pc_tracer_edges(co, tm, periodic)
+
+    tm_m = _sh(tm, -1, periodic)
+    tm_p = _sh(tm, 1, periodic)
+    sl = co.ssc * (tm - tm_m)
+    sr = co.ssc * (tm_p - tm)
+    has_slope = sl * sr > 0.
+    sc = _minmod3(sl, sr, co.scc * (tm_p - tm_m))
+
+    tel2 = jnp.where((tm_m - tel) * (tm - tel) > 0.,
+                     tm - jnp.sign(sc) * jnp.minimum(.5 * jnp.abs(sc),
+                                                     jnp.abs(tel - tm)),
+                     tel)
+    ter2 = jnp.where((tm_p - ter) * (tm - ter) > 0.,
+                     tm + jnp.sign(sc) * jnp.minimum(.5 * jnp.abs(sc),
+                                                     jnp.abs(ter - tm)),
+                     ter)
+    d = ter2 - tel2
+    q = d * (2. * tm - tel2 - ter2)
+    r = d * d / 3.
+    tel3 = jnp.where(q > r, 3. * tm - 2. * ter2, tel2)
+    ter3 = jnp.where(-r > q, 3. * tm - 2. * tel2, ter2)
+
+    tel = jnp.where(has_slope, tel3, tm)
+    ter = jnp.where(has_slope, ter3, tm)
+
+    hpc0 = hel
+    hpc1 = 6. * hm - 4. * hel - 2. * her
+    hpc2 = 3. * (hel - 2. * hm + her)
+    tpc0 = tel
+    tpc1 = 6. * tm - 4. * tel - 2. * ter
+    tpc2 = 3. * (tel - 2. * tm + ter)
+    return (hpc0, hpc1, hpc2), (tpc0, tpc1, tpc2)
+
+
 def _flux_integration(ca, ai, db, du, dl, hpc, tpc, periodic):
     """Integrate upstream parabolas over the flux area (flux_integration,
     mod_cppm.F90:1373-1468).  Edge i lies between cells i-1 and i; ca>0
@@ -555,9 +790,12 @@ def _flux_integration(ca, ai, db, du, dl, hpc, tpc, periodic):
 
 
 def cppm_sweep(hm_in, tm, ca, db, du, dl, ai, co: CppmCoeffs,
-               periodic: bool, div_corr=None):
+               periodic: bool, div_corr=None,
+               compatibility: str = 'full',
+               limiting: str = 'non_oscillatory'):
     """One 1-D CPPM transport sweep along the last axis
-    (cppm_fc_nosc_i, mod_cppm.F90:1470-1623).
+    (cppm_{fc,pc}_{nosc,mono}_i, mod_cppm.F90:1470-2498; kernel
+    selection per the cppm namelist options, :2748-2834).
 
     hm_in: (k, rows, N) thickness; tm: (nt, k, rows, N) tracers;
     ca: (k, rows, N) flux area at the left edge of each cell;
@@ -572,8 +810,22 @@ def cppm_sweep(hm_in, tm, ca, db, du, dl, ai, co: CppmCoeffs,
     if div_corr is not None:
         hm = hm / (1. - div_corr * ai)
 
-    hel, her = _h_edges_nosc(co, hm, periodic)
-    hpc, tpc = _parabola_coeffs_fc_nosc(co, hm, tm, hel, her, periodic)
+    if limiting == 'monotonic':
+        hel, her = _h_edges_mono(co, hm, periodic)
+        if compatibility == 'full':
+            hpc, tpc = _parabola_coeffs_fc_mono(co, hm, tm, hel, her,
+                                                periodic)
+        else:
+            hpc, tpc = _parabola_coeffs_pc_mono(co, hm, tm, hel, her,
+                                                periodic)
+    else:
+        hel, her = _h_edges_nosc(co, hm, periodic)
+        if compatibility == 'full':
+            hpc, tpc = _parabola_coeffs_fc_nosc(co, hm, tm, hel, her,
+                                                periodic)
+        else:
+            hpc, tpc = _parabola_coeffs_pc_nosc(co, hm, tm, hel, her,
+                                                periodic)
     hf, htf = _flux_integration(ca, ai, db, du, dl, hpc, tpc, periodic)
 
     hf_e = _sh(hf, 1, periodic)

@@ -67,7 +67,7 @@ def difest_lateral(grid: Grid, s: State, cf: CmnFields,
 
     # interface slope magnitude -> large-scale Ri -> Eady rate
     slp_u = .5 * (cf.nslpx + grid.ip1(cf.nslpx))
-    slp_v = .5 * (cf.nslpy + grid.jp1(cf.nslpy))
+    slp_v = .5 * (cf.nslpy + grid.jp1(cf.nslpy, 'v', True))
     slp2 = slp_u * slp_u + slp_v * slp_v          # (kk+1, H) at p
     ri = 1.0 / jnp.maximum(slp2, 1e-12)
     sigma_eady = absf / jnp.sqrt(ri * (ri + par.eggam))

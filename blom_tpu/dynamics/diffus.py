@@ -25,6 +25,7 @@ def diffus(grid: Grid, e: eos.EosParams, s: State, dfl: DiffusionFields,
            m: int, n: int, delt1) -> State:
     ip, iu, iv = grid.ip, grid.iu, grid.iv
     im1, ip1, jm1, jp1 = grid.im1, grid.ip1, grid.jm1, grid.jp1
+    jp1vv = lambda a: grid.jp1(a, 'v', True)   # noqa: E731 (fold-aware)
 
     dp = s.dp[n]
     qu = delt1 * .5 * (im1(dfl.difiso) + dfl.difiso) \
@@ -37,7 +38,7 @@ def diffus(grid: Grid, e: eos.EosParams, s: State, dfl: DiffusionFields,
     def apply(c):
         uf = qu * (im1(c) - c)
         vf = qv * (jm1(c) - c)
-        div = (ip1(uf) - uf + jp1(vf) - vf)
+        div = (ip1(uf) - uf + jp1vv(vf) - vf)
         qi = 1.0 / (grid.scp2 * jnp.maximum(dp, dpeps))
         return (c - qi * div) * ip, uf, vf
 

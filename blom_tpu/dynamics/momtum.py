@@ -63,6 +63,15 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
     kk = grid.kk
     ip, iu, iv, iq = grid.ip, grid.iu, grid.iv, grid.iq
     im1, ip1, jm1, jp1 = grid.im1, grid.ip1, grid.jm1, grid.jp1
+    # fold-aware j+1 reads per grid kind (tripolar grids; no-ops on
+    # non-arctic grids).  Vector components flip sign across the fold
+    # (halo_uv/halo_vv semantics, mod_xc.F90:107-110,2405-2700).
+    jp1p = lambda a: grid.jp1(a, 'p')           # noqa: E731
+    jp1u = lambda a: grid.jp1(a, 'u')           # noqa: E731
+    jp1v = lambda a: grid.jp1(a, 'v')           # noqa: E731
+    jp1q = lambda a: grid.jp1(a, 'q')           # noqa: E731
+    jp1uv = lambda a: grid.jp1(a, 'u', True)    # noqa: E731
+    jp1vv = lambda a: grid.jp1(a, 'v', True)    # noqa: E731
 
     cutoff = onem
     thkbop = thkbot * onem
@@ -86,12 +95,12 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
     pbotl = jnp.maximum(p[1:], pbot - thkbop)
     ptopl = jnp.maximum(p[:-1], pbot - thkbop)
     ubot_bl = jnp.sum((u_n + ip1(u_n)) * (pbotl - ptopl), axis=0)
-    vbot_bl = jnp.sum((v_n + jp1(v_n)) * (pbotl - ptopl), axis=0)
+    vbot_bl = jnp.sum((v_n + jp1vv(v_n)) * (pbotl - ptopl), axis=0)
 
     ubs = s.ubflxs_p[n] / jnp.maximum(epsilpl, s.pbu[n] * grid.scuy)
     vbs = s.vbflxs_p[n] / jnp.maximum(epsilpl, s.pbv[n] * grid.scvx)
     ubot = (ubs + ip1(ubs)) * tsfac + ubot_bl / thkbop
-    vbot = (vbs + jp1(vbs)) * tsfac + vbot_bl / thkbop
+    vbot = (vbs + jp1vv(vbs)) * tsfac + vbot_bl / thkbop
     ubbl = .5 * jnp.sqrt(ubot * ubot + vbot * vbot)
     qdrag = par.cb * (ubbl + par.cbar)
     drag = qdrag * grav / (alpha0 * thkbop) * ip
@@ -124,10 +133,10 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
     dpu_col = pu[1:]  # pu(k+1)
     wgtja = jnp.clip((dpu_col - jm1(s.pbu[m]))
                      / jnp.maximum(dpu_col - pu[:-1], epsilp), 0., 1.)
-    wgtjb = jnp.clip((dpu_col - jp1(s.pbu[m]))
+    wgtjb = jnp.clip((dpu_col - jp1u(s.pbu[m]))
                      / jnp.maximum(dpu_col - pu[:-1], epsilp), 0., 1.)
     uja = (1. - wgtja) * jm1(utotn) + wgtja * slip * utotn
-    ujb = (1. - wgtjb) * jp1(utotn) + wgtjb * slip * utotn
+    ujb = (1. - wgtjb) * jp1uv(utotn) + wgtjb * slip * utotn
     dl2u = (utotn - .25 * (ip1(utotn) + im1(utotn) + uja + ujb)) * iu
 
     dpv_col = pv[1:]
@@ -137,7 +146,7 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
                      / jnp.maximum(dpv_col - pv[:-1], epsilp), 0., 1.)
     via = (1. - wgtia) * im1(vtotn) + wgtia * slip * vtotn
     vib = (1. - wgtib) * ip1(vtotn) + wgtib * slip * vtotn
-    dl2v = (vtotn - .25 * (jp1(vtotn) + jm1(vtotn) + via + vib)) * iv
+    dl2v = (vtotn - .25 * (jp1vv(vtotn) + jm1(vtotn) + via + vib)) * iv
 
     # ---- vorticity / potential vorticity at q (mod_momtum.F90:473-575)
     Vv = vtotm * grid.scvy        # zero where dry
@@ -155,7 +164,7 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
         2. * (dp_m + im1(dp_m) + jm1(dp_m) + im1(jm1(dp_m))),
         jnp.maximum(jnp.maximum(dpmx, im1(dpmx)),
                     jnp.maximum(jnp.maximum(ip1(dpmx), jm1(dpmx)),
-                                jp1(dpmx))))
+                                jp1p(dpmx))))
     # boundary candidates (v-section ends first, u-section ends override;
     # mod_momtum.F90:484-575 loop order)
     cand_ve = .125 * jnp.maximum(4. * (dp_m + jm1(dp_m)),
@@ -163,7 +172,7 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
     cand_vw = .125 * jnp.maximum(4. * im1(dp_m + jm1(dp_m)),
                                  jnp.maximum(im1(dpmx), dpmx))
     cand_un = .125 * jnp.maximum(4. * (dp_m + im1(dp_m)),
-                                 jnp.maximum(dpmx, jp1(dpmx)))
+                                 jnp.maximum(dpmx, jp1p(dpmx)))
     cand_us = .125 * jnp.maximum(4. * jm1(dp_m + im1(dp_m)),
                                  jnp.maximum(jm1(dpmx), dpmx))
     dpvor_b = jnp.full_like(dp_m, cutoff)
@@ -176,7 +185,7 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
 
     # ---- deformation fields (mod_momtum.F90:537-584)
     defor1 = ((ip1(utotn * grid.scuy) - utotn * grid.scuy)
-              - (jp1(vtotn * grid.scvx) - vtotn * grid.scvx)) ** 2 \
+              - (jp1vv(vtotn * grid.scvx) - vtotn * grid.scvx)) ** 2 \
         * grid.scp2i
     Vn = vtotn * grid.scvy
     Un = utotn * grid.scux
@@ -191,24 +200,24 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
 
     # sidewall-aware del2 neighbors (mod_momtum.F90:586-607)
     dl2uja = (1. - wgtja) * jm1(dl2u) + wgtja * slip * dl2u
-    dl2ujb = (1. - wgtjb) * jp1(dl2u) + wgtjb * slip * dl2u
+    dl2ujb = (1. - wgtjb) * jp1uv(dl2u) + wgtjb * slip * dl2u
     dl2via = (1. - wgtia) * im1(dl2v) + wgtia * slip * dl2v
     dl2vib = (1. - wgtib) * ip1(dl2v) + wgtib * slip * dl2v
 
     # ---- Arakawa kinetic energy (GOLD variant; mod_momtum.F90:609-663)
     ke = .25 * (grid.scu2 * utotm ** 2 + ip1(grid.scu2 * utotm ** 2)
-                + grid.scv2 * vtotm ** 2 + jp1(grid.scv2 * vtotm ** 2)) \
+                + grid.scv2 * vtotm ** 2 + jp1v(grid.scv2 * vtotm ** 2)) \
         * grid.scp2i
 
     # ---- Coriolis advection terms (mod_momtum.F90:719-784)
     if par.mommth == 'enscon':
-        cau = .125 * (vflux0 + jp1(vflux0) + im1(vflux0) + im1(jp1(vflux0))) \
-            * (potvor + jp1(potvor)) * iu
+        cau = .125 * (vflux0 + jp1vv(vflux0) + im1(vflux0) + im1(jp1vv(vflux0))) \
+            * (potvor + jp1q(potvor)) * iu
         cav = -.125 * (uflux0 + ip1(uflux0) + jm1(uflux0) + ip1(jm1(uflux0))) \
             * (potvor + ip1(potvor)) * iv
     elif par.mommth == 'enecon':
         cau = .25 * ((vflux0 + im1(vflux0)) * potvor
-                     + jp1(vflux0 + im1(vflux0)) * jp1(potvor)) * iu
+                     + (jp1vv(vflux0) + im1(jp1vv(vflux0))) * jp1q(potvor)) * iu
         cav = -.25 * ((uflux0 + jm1(uflux0)) * potvor
                       + ip1(uflux0 + jm1(uflux0)) * ip1(potvor)) * iv
     elif par.mommth == 'enedis':
@@ -238,8 +247,8 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
                             jnp.where((s_ < 0.) != flip, hmx, hmn))
             return pv * sel
 
-        t1u = upw(jp1(potvor), utotm, jp1(vh_max) + im1(jp1(vh_max)),
-                  jp1(vh_min) + im1(jp1(vh_min)), False)
+        t1u = upw(jp1q(potvor), utotm, jp1vv(vh_max) + im1(jp1vv(vh_max)),
+                  jp1vv(vh_min) + im1(jp1vv(vh_min)), False)
         t2u = upw(potvor, utotm, vh_max + im1(vh_max),
                   vh_min + im1(vh_min), False)
         cau = .25 * (t1u + t2u) * iu
@@ -255,7 +264,7 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
     # ================= u equation =================
     # deformation-dependent viscosity at u (mod_momtum.F90:790-804)
     qw = .5 * (im1(difwgt) + difwgt)
-    deform_u = jnp.sqrt(.5 * (defor1 + im1(defor1) + defor2 + jp1(defor2)))
+    deform_u = jnp.sqrt(.5 * (defor1 + im1(defor1) + defor2 + jp1q(defor2)))
     vsc2u = jnp.maximum(qw * par.mdv2hi + (1. - qw) * par.mdv2lo,
                         (qw * par.vsc2hi + (1. - qw) * par.vsc2lo) * deform_u)
     vsc4u = jnp.maximum(qw * par.mdv4hi + (1. - qw) * par.mdv4lo,
@@ -280,19 +289,19 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
     # lateral momentum flux at q-points (mod_momtum.F90:838-915)
     dpja = jnp.maximum(jm1(dpu_m), onemm)
     dpja = dpja + wgtja * (dpxy_u - dpja)
-    dpjb = jnp.maximum(jp1(dpu_m), onemm)
+    dpjb = jnp.maximum(jp1u(dpu_m), onemm)
     dpjb = dpjb + wgtjb * (dpxy_u - dpjb)
     vsc2a = jnp.where(jm1(iu) > 0, jm1(vsc2u), vsc2u)
     vsc4a = jnp.where(jm1(iu) > 0, jm1(vsc4u), vsc4u)
-    vsc2b = jnp.where(jp1(iu) > 0, jp1(vsc2u), vsc2u)
-    vsc4b = jnp.where(jp1(iu) > 0, jp1(vsc4u), vsc4u)
+    vsc2b = jnp.where(jp1u(iu) > 0, jp1u(vsc2u), vsc2u)
+    vsc4b = jnp.where(jp1u(iu) > 0, jp1u(vsc4u), vsc4u)
     uflux2 = (jnp.minimum(grid.difmxq, (vsc2u + vsc2a) * grid.scqx)
               * _hfharm(dpja, dpxy_u) * (uja - utotn)
               + jnp.minimum(.125 * grid.difmxq, (vsc4u + vsc4a) * grid.scqx)
               * _hfharm(dpja, dpxy_u) * (dl2uja - dl2u)) * iu
-    uflux3 = (jnp.minimum(jp1(grid.difmxq), (vsc2u + vsc2b) * jp1(grid.scqx))
+    uflux3 = (jnp.minimum(jp1q(grid.difmxq), (vsc2u + vsc2b) * jp1q(grid.scqx))
               * _hfharm(dpjb, dpxy_u) * (utotn - ujb)
-              + jnp.minimum(.125 * jp1(grid.difmxq),
+              + jnp.minimum(.125 * jp1q(grid.difmxq),
                             (vsc4u + vsc4b) * jp1(grid.scqx))
               * _hfharm(dpjb, dpxy_u) * (dl2u - dl2ujb)) * iu
 
@@ -336,19 +345,19 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
     vsc4v = jnp.maximum(qw * par.mdv4hi + (1. - qw) * par.mdv4lo,
                         (qw * par.vsc4hi + (1. - qw) * par.vsc4lo) * deform_v)
 
-    vsc2v_a = jnp.where(iv > 0, vsc2v, jp1(vsc2v))
-    vsc2v_b = jnp.where(jp1(iv) > 0, jp1(vsc2v), vsc2v)
-    vsc4v_a = jnp.where(iv > 0, vsc4v, jp1(vsc4v))
-    vsc4v_b = jnp.where(jp1(iv) > 0, jp1(vsc4v), vsc4v)
+    vsc2v_a = jnp.where(iv > 0, vsc2v, jp1v(vsc2v))
+    vsc2v_b = jnp.where(jp1v(iv) > 0, jp1v(vsc2v), vsc2v)
+    vsc4v_a = jnp.where(iv > 0, vsc4v, jp1v(vsc4v))
+    vsc4v_b = jnp.where(jp1v(iv) > 0, jp1v(vsc4v), vsc4v)
     dpxy_v = jnp.maximum(dpv_m, onemm)
-    dpjb_v = jnp.maximum(jp1(dpv_m), onemm)
+    dpjb_v = jnp.maximum(jp1v(dpv_m), onemm)
     harm_pv = _hfharm(dpxy_v, dpjb_v)
     vflux1 = jnp.where(
-        (iv + jp1(iv)) > 0,
+        (iv + jp1v(iv)) > 0,
         jnp.minimum(grid.difmxp, (vsc2v_a + vsc2v_b) * grid.scpx)
-        * harm_pv * (vtotn - jp1(vtotn))
+        * harm_pv * (vtotn - jp1vv(vtotn))
         + jnp.minimum(.125 * grid.difmxp, (vsc4v_a + vsc4v_b) * grid.scpx)
-        * harm_pv * (dl2v - jp1(dl2v)),
+        * harm_pv * (dl2v - jp1vv(dl2v)),
         0.0)
 
     dpia = jnp.maximum(im1(dpv_m), onemm)

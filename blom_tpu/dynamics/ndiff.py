@@ -196,8 +196,9 @@ def ndiff(grid: Grid, e: eos.EosParams, s: State, dfl: DiffusionFields,
 
     dCx, ufx = _direction_pass(grid, C, temp, saln, dp, pc, drt, drs,
                                mld_p, grid.im1, grid.ip1, qu, grid.scp2)
+    jp1p = lambda a: grid.jp1(a, 'p')   # noqa: E731 (fold-aware)
     dCy, vfy = _direction_pass(grid, C, temp, saln, dp, pc, drt, drs,
-                               mld_p, grid.jm1, grid.jp1, qv, grid.scp2)
+                               mld_p, grid.jm1, jp1p, qv, grid.scp2)
 
     C_new = (C + dCx + dCy) * ip[None]
     temp_new, saln_new = C_new[0], C_new[1]

@@ -48,6 +48,7 @@ def pbcor1(grid: Grid, s: State, m: int, n: int, dlt) -> State:
     """Pre-barotropic thickness correction (mod_pbcor.F90:66-414)."""
     ip, iu, iv = grid.ip, grid.iu, grid.iv
     ip1, jp1 = grid.ip1, grid.jp1
+    jp1vv = lambda a: grid.jp1(a, 'v', True)   # noqa: E731 (fold-aware)
 
     p = cumulative_p(s.dp[n]) * ip
     p_bot = p[grid.kk]
@@ -63,17 +64,17 @@ def pbcor1(grid: Grid, s: State, m: int, n: int, dlt) -> State:
 
     dpo = s.dp[n]
     dp_new = jnp.maximum(0., dpo - (ip1(uflux) - uflux
-                                    + jp1(vflux) - vflux) * grid.scp2i) * ip
+                                    + jp1vv(vflux) - vflux) * grid.scp2i) * ip
     dpo_e = dpo + dpeps1
     dpni = 1. / (dp_new + dpeps1)
     saln_new = (dpo_e * s.saln[n]
-                - (ip1(uflux2) - uflux2 + jp1(vflux2) - vflux2)
+                - (ip1(uflux2) - uflux2 + jp1vv(vflux2) - vflux2)
                 * grid.scp2i) * dpni * ip
     temp_new = (dpo_e * s.temp[n]
-                - (ip1(uflux3) - uflux3 + jp1(vflux3) - vflux3)
+                - (ip1(uflux3) - uflux3 + jp1vv(vflux3) - vflux3)
                 * grid.scp2i) * dpni * ip
     trc_new = (dpo_e[None] * s.trc[n]
-               - (grid.ip1(uflxtr) - uflxtr + grid.jp1(vflxtr) - vflxtr)
+               - (grid.ip1(uflxtr) - uflxtr + grid.jp1(vflxtr, 'v', True) - vflxtr)
                * grid.scp2i) * dpni[None] * ip
     dp_new = jnp.where(dp_new < dpeps2, 0., dp_new)
 
@@ -101,6 +102,7 @@ def pbcor2(grid: Grid, e: eos.EosParams, s: State, m: int, n: int,
     """Post-barotropic thickness correction (mod_pbcor.F90:416-759)."""
     ip, iu, iv = grid.ip, grid.iu, grid.iv
     ip1, jp1 = grid.ip1, grid.jp1
+    jp1vv = lambda a: grid.jp1(a, 'v', True)   # noqa: E731 (fold-aware)
 
     dp_m = (jnp.maximum(0., s.dp[m]) + epsilp) * ip
     p = cumulative_p(dp_m) * ip
@@ -116,17 +118,17 @@ def pbcor2(grid: Grid, e: eos.EosParams, s: State, m: int, n: int,
     vflxtr = vflux[None] * jnp.where(vpos, grid.jm1(s.trc[m]), s.trc[m])
 
     dpo = dp_m
-    dp_new = dpo - grid.scp2i * (ip1(uflux) - uflux + jp1(vflux) - vflux)
+    dp_new = dpo - grid.scp2i * (ip1(uflux) - uflux + jp1vv(vflux) - vflux)
     dpni = ip / jnp.maximum(dp_new, epsilp * .5)
     saln_new = (dpo * s.saln[m]
                 - grid.scp2i * (ip1(uflux2) - uflux2
-                                + jp1(vflux2) - vflux2)) * dpni
+                                + jp1vv(vflux2) - vflux2)) * dpni
     temp_new = (dpo * s.temp[m]
                 - grid.scp2i * (ip1(uflux3) - uflux3
-                                + jp1(vflux3) - vflux3)) * dpni
+                                + jp1vv(vflux3) - vflux3)) * dpni
     trc_new = (dpo[None] * s.trc[m]
                - grid.scp2i * (grid.ip1(uflxtr) - uflxtr
-                               + grid.jp1(vflxtr) - vflxtr)) * dpni[None]
+                               + grid.jp1(vflxtr, 'v', True) - vflxtr)) * dpni[None]
     sigma_new = eos.sig(e, temp_new, saln_new) * ip
     dp_new = dp_new - epsilp
     dp_new = jnp.where(dp_new < dpeps2, 0., dp_new) * ip

@@ -58,6 +58,8 @@ class StepParams(NamedTuple):
     barotp: BarotpParams = BarotpParams()
     pgfmth: str = 'dynamic enthalpy'
     advmth: str = 'cppm'      # 'cppm' | 'remap' (mod_advect.F90:52)
+    cppm_compatibility: str = 'full'        # 'full' | 'partial'
+    cppm_limiting: str = 'non_oscillatory'  # | 'monotonic'
     vcoord_isopyc: bool = False
     ale: Optional[AleParams] = None
     vmix: Optional[VmixParams] = VmixParams()
@@ -103,14 +105,14 @@ def _tke_closure(grid: Grid, s: State, forcing: Forcing, kdiff,
     bvfsq = _jnp.concatenate([bvfsq_i[:1], bvfsq_i], axis=0)
 
     u_p = .5 * (s.u[n] + grid.ip1(s.u[n]))
-    v_p = .5 * (s.v[n] + grid.jp1(s.v[n]))
+    v_p = .5 * (s.v[n] + grid.jp1(s.v[n], 'v', True))
     du2_i = (u_p[1:] - u_p[:-1]) ** 2 + (v_p[1:] - v_p[:-1]) ** 2
     du2l = _jnp.concatenate([du2_i[:1], du2_i], axis=0)
 
     kidx = _jnp.arange(dp_k.shape[0])[:, None, None]
     kmax = _jnp.max(_jnp.where(dp_k > epsilp, kidx, 0), axis=0)
     taux_p = .5 * (forcing.taux + grid.ip1(forcing.taux))
-    tauy_p = .5 * (forcing.tauy + grid.jp1(forcing.tauy))
+    tauy_p = .5 * (forcing.tauy + grid.jp1(forcing.tauy, 'v', True))
     ustar = _jnp.sqrt(_jnp.sqrt(taux_p ** 2 + tauy_p ** 2) / 1000.)
 
     tke_tr = _jnp.maximum(s.trc[n, par.itrtke], _tke.tke_min)
@@ -142,14 +144,26 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
               s: State, forcing: Forcing, dfl: DiffusionFields,
               m: int, n: int, delt1,
               swabs: Optional[SwabsFields] = None,
-              bgc_forcing=None):
+              bgc_forcing=None, budget_out: Optional[list] = None):
     """Advance one baroclinic time step (mod_blom_step.F90:74-324).
 
     Returns (state, dfl): the diffusion/eddy-transport fields are
     per-step state (difest/eddtra fill them, momtum/advect consume).
     m, n are static python ints (0/1); delt1 is traced (baclin on the
-    first step from initial conditions, 2*baclin otherwise)."""
+    first step from initial conditions, 2*baclin otherwise).
+
+    When `budget_out` is a list, mass/heat/salt budget sums are appended
+    at the reference's cnsvdi checkpoints (budget_sums calls 1..7,
+    mod_blom_step.F90:96-230) so the caller can stack and difference
+    them (budget_output, mod_budget.F90:202-356)."""
     dlt = par.dlt
+
+    def ckpt(lvl):
+        if budget_out is not None:
+            from .budget import budget_sums
+            budget_out.append(budget_sums(grid, s, lvl))
+
+    ckpt(n)   # budget_sums(1,n) before anything (mod_blom_step.F90:96)
 
     # flux reset (mod_blom_step.F90:100-111)
     s = init_fluxes(s, m)
@@ -162,6 +176,7 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     # ALE vertical regrid + remap (mod_blom_step.F90:131-135)
     if not par.vcoord_isopyc and par.ale is not None:
         s = ale_regrid_remap(grid, e, par.ale, s, m, n, delt1)
+        ckpt(n)   # budget_sums(2,n) after the remap (:132)
 
     # derived fields + lateral diffusivities + GM eddy transport
     # (cmnfld2 / difest_lateral_hybrid / eddtra, mod_blom_step.F90:136-147)
@@ -173,7 +188,7 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
 
     # advection (mod_blom_step.F90:148)
     s = advect(grid, s, dfl, coeffs_i, coeffs_j, m, n, delt1, dlt,
-               par.advmth)
+               par.advmth, par.cppm_compatibility, par.cppm_limiting)
 
     # pre-barotropic mass-flux correction (mod_blom_step.F90:150)
     s = pbcor1(grid, s, m, n, dlt)
@@ -190,6 +205,8 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
         else:
             s = diffus(grid, e, s, dfl, m, n, delt1)
 
+    ckpt(n)   # budget_sums(2|3,n) after advect/diffus (:156,159)
+
     # wind stress dispatch (sfcstr, mod_blom_step.F90:163) is carried by
     # `forcing`.
 
@@ -204,6 +221,7 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     # (mod_blom_step.F90:174-186)
     if par.vcoord_isopyc:
         s = convec(grid, e, s, m, n)
+        ckpt(n)   # budget_sums(3,n) after convec (:177)
         if par.vmix is not None and swabs is not None:
             vf = _difest_v(par)(grid, e, s, forcing, swabs, par.vmix, n)
             kdiff = vf.Kdiff_t
@@ -214,6 +232,7 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
                 s, kdiff = _tke_closure(grid, s, forcing, kdiff, par,
                                         n, delt1)
             s = diapfl(grid, e, s, kdiff, m, n, delt1)
+        ckpt(n)   # budget_sums(4,n) after diapfl (:183)
 
     # surface thermodynamics: restoring fluxes (thermf,
     # mod_blom_step.F90:188-189)
@@ -242,6 +261,9 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
         vf = _difest_v(par)(grid, e, s, forcing, swabs, par.vmix, n)
         s = ale_vdifft(grid, e, s, forcing, vf, m, n, delt1)
         s = ale_vdiffm(grid, s, vf, m, n, delt1)
+        ckpt(n)   # budget_sums(4,n) after ale_vdiffm (:205)
+
+    ckpt(n)   # budget_sums(5,n) after updtrc (:215)
 
     # barotropic solve (mod_blom_step.F90:218)
     s = barotp(grid, s, utotn, vtotn, m, n, par.lstep, dlt, par.barotp)
@@ -249,8 +271,20 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     # post-barotropic mass-flux correction (mod_blom_step.F90:221)
     s = pbcor2(grid, e, s, m, n, dlt)
 
+    ckpt(m)   # budget_sums(6,m) after pbcor2 (:224)
+
     # leap-frog time smoothing (mod_blom_step.F90:227)
     s = tmsmt2(grid, s, m, n, par.vcoord_isopyc)
+
+    ckpt(m)   # budget_sums(7,m) after tmsmt2 (:230)
+
+    if grid.arctic:
+        # enforce the fold-duplicated top-row degrees of freedom (the
+        # role of the reference's xctilr fold writes on tripolar grids,
+        # mod_xc.F90:2405-2700); keeps mirrored copies bit-identical
+        # against roundoff-order drift.
+        from ..parallel.arctic import sync_state
+        s = sync_state(s)
 
     return s, dfl
 
@@ -259,18 +293,67 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
                   coeffs_i: CppmCoeffs, coeffs_j: CppmCoeffs,
                   forcing: Forcing, dfl: DiffusionFields,
                   swabs: Optional[SwabsFields] = None,
-                  bgc_forcing=None):
+                  bgc_forcing=None,
+                  with_dia: bool = False, cnsvdi: bool = False,
+                  chk: bool = False):
     """Return a scan body advancing two steps (both time-level
     parities).  First step of the pair uses (m, n) = (0, 1) — the parity
-    of the very first model step (nstep_pre = 0)."""
+    of the very first model step (nstep_pre = 0).
+
+    Optional in-step instrumentation, mirroring the reference step's
+    diaacc/budget_sums/chkvar calls (mod_blom_step.F90:96-252):
+      with_dia — the carry gains a DiaGroup accumulated after every
+        step at the new time level (diaacc, :239);
+      cnsvdi   — ys gain per-checkpoint budget sums (budget_sums 1..7);
+      chk      — ys gain a per-step all-finite flag (chkvar, :252).
+    With none of these set, carry is (state, dfl) and ys is None."""
+
+    def one(s, dfl_c, m, n, d):
+        bout = [] if cnsvdi else None
+        s, dfl_c = blom_step(grid, e, par, coeffs_i, coeffs_j, s,
+                             forcing, dfl_c, m, n, d, swabs, bgc_forcing,
+                             budget_out=bout)
+        ys = {}
+        if cnsvdi:
+            import jax as _jax
+            ys['budgets'] = _jax.tree.map(lambda *xs: jnp.stack(xs), *bout)
+        if chk:
+            from .chkvar import chkvar as _chkvar
+            ys['ok'] = _chkvar(grid, s, n)[0]
+        return s, dfl_c, ys
+
+    extras = with_dia or cnsvdi or chk
 
     def two_step(carry, delt1_pair):
-        s, dfl_c = carry
+        if with_dia:
+            s, dfl_c, group = carry
+        else:
+            s, dfl_c = carry
+            group = None
         d1, d2 = delt1_pair
-        s, dfl_c = blom_step(grid, e, par, coeffs_i, coeffs_j, s, forcing,
-                             dfl_c, 0, 1, d1, swabs, bgc_forcing)
-        s, dfl_c = blom_step(grid, e, par, coeffs_i, coeffs_j, s, forcing,
-                             dfl_c, 1, 0, d2, swabs, bgc_forcing)
-        return (s, dfl_c), None
+        def acc(group, s, lev, dfl_c):
+            from ..io.dia import accumulate
+            if isinstance(group, (tuple, list)):
+                return type(group)(
+                    accumulate(grid, g, s, lev, forcing, dfl_c)
+                    for g in group)
+            return accumulate(grid, group, s, lev, forcing, dfl_c)
+
+        s, dfl_c, ys1 = one(s, dfl_c, 0, 1, d1)
+        if with_dia:
+            group = acc(group, s, 1, dfl_c)
+        s, dfl_c, ys2 = one(s, dfl_c, 1, 0, d2)
+        if with_dia:
+            group = acc(group, s, 0, dfl_c)
+        carry = (s, dfl_c, group) if with_dia else (s, dfl_c)
+        if not extras:
+            return carry, None
+        if ys1:
+            import jax as _jax
+            ys = {k: _jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                                   ys1[k], ys2[k]) for k in ys1}
+        else:
+            ys = {}
+        return carry, ys
 
     return two_step

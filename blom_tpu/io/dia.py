@@ -6,17 +6,18 @@ groups, each with its own averaging period and a per-field selection of
 ~230 2-D/layer/z-level diagnostics with ave/min/max/sq accumulation ops;
 NetCDF output via mod_nctools.F90).
 
-Round-1 scope: accumulation groups over a configurable field registry
-(2-D surface fields and 3-D layer fields, ave/min/max ops), with
-jit-friendly device-side accumulators and a NetCDF3-classic writer
-(scipy.io.netcdf_file, the same classic format the reference's
-NCFORMAT=0 produces).  z-level interpolated output rides the hor3map
-remap and is wired next."""
+Design: a registry of pure extractors over a `DiaCtx` (grid + state +
+forcing + diffusion fields), jit-friendly device-side accumulators
+carried through the step scan (diaacc in-step, mod_blom_step.F90:239),
+per-group alarm logic (diaout_alarms, mod_dia.F90:2200-2311), and a
+NetCDF3-classic writer (the same classic format the reference's
+NCFORMAT=0 produces) with optional wet-point-compressed packing
+(mod_nctools ncdimc/nccomp)."""
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,12 +26,21 @@ import numpy as np
 from ..core.grid import Grid
 from ..core.state import State
 
+
+class DiaCtx(NamedTuple):
+    """Extractor context: everything a diagnostic may read."""
+    g: Grid
+    s: State
+    frc: object = None     # phys.forcing.Forcing
+    dfl: object = None     # dynamics.diffusion_fields.DiffusionFields
+
+
 def _bottom(extract):
     """Deepest-wet-layer value of a layer field (the *BOT ids of
-    mod_dia.F90: ACC_SBOT/ACC_TBOT)."""
-    def fn(g, s, n):
-        a = extract(g, s, n)
-        wet = s.dp[n] > 1.e-3
+    mod_dia.F90: ACC_SBOT/ACC_TBOT; dpbot region, mod_dia.F90:246)."""
+    def fn(c, n):
+        a = extract(c, n)
+        wet = c.s.dp[n] > 1.e-3
         kidx = jnp.arange(a.shape[0])[:, None, None]
         kbot = jnp.max(jnp.where(wet, kidx, 0), axis=0)
         onehot = (kidx == kbot[None]).astype(a.dtype)
@@ -38,64 +48,206 @@ def _bottom(extract):
     return fn
 
 
-# field extractors: name -> (dims, fn(grid, state, lvl) -> array)
+def _bfsq(c, n):
+    """Interface Brunt-Vaisala frequency from the layered density
+    (cmnfld_bfsqf, mod_cmnfld_routines.F90:61-421)."""
+    from ..core.constants import epsilp, grav
+    dp_k = c.s.dp[n]
+    sig = c.s.sigma[n]
+    dp_mid = jnp.maximum(.5 * (dp_k[:-1] + dp_k[1:]), epsilp)
+    bv = grav * grav * (sig[1:] - sig[:-1]) / dp_mid
+    return jnp.concatenate([bv[:1], bv], axis=0)
+
+
+def _mld(c, n):
+    """Mixed-layer depth, density criterion (lev82-like,
+    mod_cmnfld_routines.F90:933-1084)."""
+    from ..core.constants import onem
+    from ..core.state import cumulative_p
+    p = cumulative_p(c.s.dp[n]) * c.g.ip
+    sig = c.s.sigma[n]
+    z_mid = .5 * (p[:-1] + p[1:]) / onem
+    deeper = sig > sig[0] + .03
+    kk = c.s.dp.shape[1]
+    mld = jnp.min(jnp.where(deeper, z_mid, p[kk] / onem), axis=0)
+    return jnp.maximum(mld, 1.0) * c.g.ip
+
+
+def _isotherm_depth(tcrit):
+    """Depth [m] of an isotherm (ACC_T20D/ACC_T17D, mod_dia.F90)."""
+    def fn(c, n):
+        from ..core.constants import onem
+        from ..core.state import cumulative_p
+        p = cumulative_p(c.s.dp[n])
+        z_mid = .5 * (p[:-1] + p[1:]) / onem
+        colder = c.s.temp[n] < tcrit
+        kk = c.s.dp.shape[1]
+        return jnp.min(jnp.where(colder, z_mid, p[kk] / onem),
+                       axis=0) * c.g.ip
+    return fn
+
+
+def _btmstr(c, n):
+    """Barotropic mass streamfunction [kg s-1]: south-to-north cumsum of
+    the barotropic u transport (ACC_BTMSTR, mod_dia.F90)."""
+    ut = c.s.ub[n] * c.s.pbu[n] * c.g.scuy / 9.806
+    return jnp.cumsum(ut, axis=-2) * c.g.iu
+
+
+def _pv(c, n):
+    """Layer potential vorticity (ACC_PV): (zeta + f) / dp."""
+    from ..core.constants import epsilp
+    g = c.g
+    u, v = c.s.u[n], c.s.v[n]
+    # circulation / area form of relative vorticity at q
+    vy = v * g.scvy
+    ux = u * g.scux
+    vort = ((vy - g.im1(vy)) - (ux - g.jm1(ux))) * g.scq2i
+    f = g.corioq
+    dq = .25 * (c.s.dp[n] + g.im1(c.s.dp[n])
+                + g.jm1(c.s.dp[n]) + g.im1(g.jm1(c.s.dp[n])))
+    return (vort + f) / jnp.maximum(dq, epsilp) * g.iq
+
+
+def _ustar(c, n):
+    taux_p = .5 * (c.frc.taux + c.g.ip1(c.frc.taux))
+    tauy_p = .5 * (c.frc.tauy + c.g.jp1(c.frc.tauy, 'v', True))
+    return jnp.sqrt(jnp.sqrt(taux_p ** 2 + tauy_p ** 2) / 1000.)
+
+
+def _frc(name):
+    def fn(c, n):
+        return getattr(c.frc, name)
+    return fn
+
+
+def _dfl2(name):
+    def fn(c, n):
+        return getattr(c.dfl, name)[n]
+    return fn
+
+
+def _dfl(name):
+    def fn(c, n):
+        return getattr(c.dfl, name)
+    return fn
+
+
+# field extractors: name -> (dims, fn(ctx, lvl) -> array)
+# dims: '2d' (J, I), '3d' (K, J, I) layer, 'zlv' (ddm, J, I) z-level,
+#       'tr3d' (ntr, K, J, I), 'scalar' ()
 FIELD_REGISTRY: Dict[str, Tuple[str, Callable]] = {
-    # 2-D (H2D_* ids, mod_dia.F90:241-276)
-    'sealv': ('2d', lambda g, s, n: s.sealv),
-    'pbot': ('2d', lambda g, s, n: s.pb[n]),
-    'sst': ('2d', lambda g, s, n: s.temp[n][0]),
-    'sss': ('2d', lambda g, s, n: s.saln[n][0]),
-    'ub': ('2d', lambda g, s, n: s.ub[n]),
-    'vb': ('2d', lambda g, s, n: s.vb[n]),
-    'ustarb': ('2d', lambda g, s, n: s.ustarb),
-    'pbu': ('2d', lambda g, s, n: s.pbu[n]),
-    'pbv': ('2d', lambda g, s, n: s.pbv[n]),
-    'ubflxs': ('2d', lambda g, s, n: s.ubflxs[1]),
-    'vbflxs': ('2d', lambda g, s, n: s.vbflxs[1]),
-    'sbot': ('2d', _bottom(lambda g, s, n: s.saln[n])),
-    'tbot': ('2d', _bottom(lambda g, s, n: s.temp[n])),
-    'sigmx': ('2d', lambda g, s, n: s.sigma[n][0]),
-    # layer 3-D (LYR_* ids)
-    'temp': ('3d', lambda g, s, n: s.temp[n]),
-    'saln': ('3d', lambda g, s, n: s.saln[n]),
-    'dp': ('3d', lambda g, s, n: s.dp[n]),
-    'dz': ('3d', lambda g, s, n: s.dp[n]),
-    'dpu': ('3d', lambda g, s, n: s.dpu[n]),
-    'dpv': ('3d', lambda g, s, n: s.dpv[n]),
-    'uvel': ('3d', lambda g, s, n: s.u[n] + s.ub[n][None]),
-    'vvel': ('3d', lambda g, s, n: s.v[n] + s.vb[n][None]),
-    'sigma': ('3d', lambda g, s, n: s.sigma[n]),
-    'uflx': ('3d', lambda g, s, n: s.uflx[n]),
-    'vflx': ('3d', lambda g, s, n: s.vflx[n]),
-    'utflx': ('3d', lambda g, s, n: s.utflx[n]),
-    'vtflx': ('3d', lambda g, s, n: s.vtflx[n]),
-    'usflx': ('3d', lambda g, s, n: s.usflx[n]),
-    'vsflx': ('3d', lambda g, s, n: s.vsflx[n]),
+    # ---- 2-D (H2D_* ids, mod_dia.F90:204-219) ----
+    'sealv': ('2d', lambda c, n: c.s.sealv),
+    'slvsq': ('2d', lambda c, n: c.s.sealv ** 2),
+    'pbot': ('2d', lambda c, n: c.s.pb[n]),
+    'psrf': ('2d', lambda c, n: c.s.p[0] if c.s.p.ndim == 3
+             else jnp.zeros_like(c.s.pb[n])),
+    'sst': ('2d', lambda c, n: c.s.temp[n][0]),
+    'sstsq': ('2d', lambda c, n: c.s.temp[n][0] ** 2),
+    'sss': ('2d', lambda c, n: c.s.saln[n][0]),
+    'ssssq': ('2d', lambda c, n: c.s.saln[n][0] ** 2),
+    'ub': ('2d', lambda c, n: c.s.ub[n]),
+    'vb': ('2d', lambda c, n: c.s.vb[n]),
+    'ustarb': ('2d', lambda c, n: c.s.ustarb),
+    'pbu': ('2d', lambda c, n: c.s.pbu[n]),
+    'pbv': ('2d', lambda c, n: c.s.pbv[n]),
+    'ubflxs': ('2d', lambda c, n: c.s.ubflxs[1]),
+    'vbflxs': ('2d', lambda c, n: c.s.vbflxs[1]),
+    'sbot': ('2d', _bottom(lambda c, n: c.s.saln[n])),
+    'tbot': ('2d', _bottom(lambda c, n: c.s.temp[n])),
+    'sigmx': ('2d', lambda c, n: c.s.sigma[n][0]),
+    'btmstr': ('2d', _btmstr),
+    'mldl82': ('2d', _mld),
+    'mldb04': ('2d', _mld),
+    't20d': ('2d', _isotherm_depth(20.)),
+    't17d': ('2d', _isotherm_depth(17.)),
+    # forcing-sourced 2-D fields
+    'taux': ('2d', _frc('taux')),
+    'tauy': ('2d', _frc('tauy')),
+    'ztx': ('2d', _frc('taux')),
+    'mty': ('2d', _frc('tauy')),
+    'swa': ('2d', _frc('sswflx')),
+    'nsf': ('2d', _frc('surflx')),
+    'surflx': ('2d', _frc('surflx')),
+    'sfl': ('2d', _frc('salflx')),
+    'salflx': ('2d', _frc('salflx')),
+    'brnflx': ('2d', _frc('brnflx')),
+    'surrlx': ('2d', _frc('surrlx')),
+    'salrlx': ('2d', _frc('salrlx')),
+    'abswnd': ('2d', lambda c, n: jnp.sqrt(jnp.sqrt(
+        (.5 * (c.frc.taux + c.g.ip1(c.frc.taux))) ** 2
+        + (.5 * (c.frc.tauy + c.g.jp1(c.frc.tauy, 'v', True))) ** 2))),
+    'ustar': ('2d', _ustar),
+    'ustar3': ('2d', lambda c, n: _ustar(c, n) ** 3),
+    # ---- layer 3-D (LYR_* ids) ----
+    'temp': ('3d', lambda c, n: c.s.temp[n]),
+    'saln': ('3d', lambda c, n: c.s.saln[n]),
+    'dp': ('3d', lambda c, n: c.s.dp[n]),
+    'dz': ('3d', lambda c, n: c.s.dp[n]),
+    'dpu': ('3d', lambda c, n: c.s.dpu[n]),
+    'dpv': ('3d', lambda c, n: c.s.dpv[n]),
+    'uvel': ('3d', lambda c, n: c.s.u[n] + c.s.ub[n][None]),
+    'vvel': ('3d', lambda c, n: c.s.v[n] + c.s.vb[n][None]),
+    'sigma': ('3d', lambda c, n: c.s.sigma[n]),
+    'uflx': ('3d', lambda c, n: c.s.uflx[n]),
+    'vflx': ('3d', lambda c, n: c.s.vflx[n]),
+    'utflx': ('3d', lambda c, n: c.s.utflx[n]),
+    'vtflx': ('3d', lambda c, n: c.s.vtflx[n]),
+    'usflx': ('3d', lambda c, n: c.s.usflx[n]),
+    'vsflx': ('3d', lambda c, n: c.s.vsflx[n]),
+    'bfsq': ('3d', _bfsq),
+    'pv': ('3d', _pv),
+    # diffusivity / eddy-transport fields (LYR_DIF*, LYR_*MFLTD/SM)
+    'difint': ('3d', _dfl('difint')),
+    'difiso': ('3d', _dfl('difiso')),
+    'difdia': ('3d', _dfl('difdia')),
+    'umfltd': ('3d', _dfl2('umfltd')),
+    'vmfltd': ('3d', _dfl2('vmfltd')),
+    'umflsm': ('3d', _dfl2('umflsm')),
+    'vmflsm': ('3d', _dfl2('vmflsm')),
+    # all passive tracers (LYR_TRC)
+    'trc': ('tr3d', lambda c, n: c.s.trc[n]),
+    # ---- global scalars (MSC_* ids) ----
+    'massgs': ('scalar', lambda c, n: jnp.sum(
+        c.s.dp[n] * (c.g.scp2 * c.g.ip)[None]) / 9.806),
+    'volgs': ('scalar', lambda c, n: jnp.sum(
+        c.s.dp[n] * (c.g.scp2 * c.g.ip)[None]) / (9.806 * 1000.)),
+    'tempga': ('scalar', lambda c, n: jnp.sum(
+        c.s.temp[n] * c.s.dp[n] * (c.g.scp2 * c.g.ip)[None])
+        / jnp.maximum(jnp.sum(c.s.dp[n] * (c.g.scp2 * c.g.ip)[None]),
+                      1e-30)),
+    'salnga': ('scalar', lambda c, n: jnp.sum(
+        c.s.saln[n] * c.s.dp[n] * (c.g.scp2 * c.g.ip)[None])
+        / jnp.maximum(jnp.sum(c.s.dp[n] * (c.g.scp2 * c.g.ip)[None]),
+                      1e-30)),
+    'sstga': ('scalar', lambda c, n: jnp.sum(
+        c.s.temp[n][0] * c.g.scp2 * c.g.ip)
+        / jnp.maximum(jnp.sum(c.g.scp2 * c.g.ip), 1e-30)),
+    'sssga': ('scalar', lambda c, n: jnp.sum(
+        c.s.saln[n][0] * c.g.scp2 * c.g.ip)
+        / jnp.maximum(jnp.sum(c.g.scp2 * c.g.ip), 1e-30)),
 }
 
 
 def _zlv(extract):
     """Wrap a 3-D extractor to produce its z-level remap (LVL_* ids,
     mod_dia.F90:241-276 + ale_remap_diazlv)."""
-    def fn(g, s, n):
+    def fn(c, n):
         from ..core.state import cumulative_p
         from .merdia import to_zlev
-        return to_zlev(extract(g, s, n), cumulative_p(s.dp[n]))
+        return to_zlev(extract(c, n), cumulative_p(c.s.dp[n]))
     return fn
 
 
-FIELD_REGISTRY.update({
-    'templvl': ('zlv', _zlv(lambda g, s, n: s.temp[n])),
-    'salnlvl': ('zlv', _zlv(lambda g, s, n: s.saln[n])),
-    'uvellvl': ('zlv', _zlv(lambda g, s, n: s.u[n] + s.ub[n][None])),
-    'vvellvl': ('zlv', _zlv(lambda g, s, n: s.v[n] + s.vb[n][None])),
-    'uflxlvl': ('zlv', _zlv(lambda g, s, n: s.uflx[n])),
-    'vflxlvl': ('zlv', _zlv(lambda g, s, n: s.vflx[n])),
-    'utflxlvl': ('zlv', _zlv(lambda g, s, n: s.utflx[n])),
-    'vtflxlvl': ('zlv', _zlv(lambda g, s, n: s.vtflx[n])),
-    'usflxlvl': ('zlv', _zlv(lambda g, s, n: s.usflx[n])),
-    'vsflxlvl': ('zlv', _zlv(lambda g, s, n: s.vsflx[n])),
-})
+# z-level twins of the layer fields (LVL_* ids)
+for _name in ('temp', 'saln', 'uvel', 'vvel', 'uflx', 'vflx', 'utflx',
+              'vtflx', 'usflx', 'vsflx', 'bfsq', 'difint', 'difiso',
+              'difdia', 'dz', 'pv', 'umfltd', 'vmfltd', 'umflsm',
+              'vmflsm'):
+    _dims, _fn = FIELD_REGISTRY[_name]
+    FIELD_REGISTRY[_name + 'lvl'] = ('zlv', _zlv(_fn))
+del _name, _dims, _fn
 
 #: per-field accumulation operators (the ave/min/max/sq encoding of
 #: mod_dia.F90's ACC_* tables)
@@ -125,12 +277,14 @@ def _norm_fields(fields):
     return tuple(out)
 
 
-def init_group(grid: Grid, state: State, fields, dtype=jnp.float64):
+def init_group(grid: Grid, state: State, fields, dtype=jnp.float64,
+               forcing=None, dfl=None):
     fields = _norm_fields(fields)
+    c = DiaCtx(grid, state, forcing, dfl)
     acc = {}
     for name, op in fields:
         dims, fn = FIELD_REGISTRY[name]
-        proto = fn(grid, state, 0)
+        proto = fn(c, 0)
         if op == 'min':
             acc[name] = jnp.full_like(proto, jnp.inf)
         elif op == 'max':
@@ -140,13 +294,15 @@ def init_group(grid: Grid, state: State, fields, dtype=jnp.float64):
     return DiaGroup(nacc=jnp.zeros((), dtype), acc=acc, fields=fields)
 
 
-def accumulate(grid: Grid, group: DiaGroup, s: State, n: int) -> DiaGroup:
+def accumulate(grid: Grid, group: DiaGroup, s: State, n: int,
+               forcing=None, dfl=None) -> DiaGroup:
     """Add the current state to the running accumulators (diaacc,
     mod_dia.F90:1097-2200; op semantics of the ACC_* encoding)."""
+    c = DiaCtx(grid, s, forcing, dfl)
     acc = dict(group.acc)
     for name, op in group.fields:
         dims, fn = FIELD_REGISTRY[name]
-        v = fn(grid, s, n)
+        v = fn(c, n)
         if op == 'ave':
             acc[name] = acc[name] + v
         elif op == 'sq':
@@ -170,6 +326,117 @@ def reset(group: DiaGroup) -> DiaGroup:
             acc[name] = jnp.zeros_like(v)
     return DiaGroup(nacc=jnp.zeros_like(group.nacc), acc=acc,
                     fields=group.fields)
+
+
+# ------------------------------------------------------------------ #
+# multi-group configuration + alarms (GLB_* arrays + diaout_alarms,
+# mod_dia.F90:278-282, 2200-2311)
+# ------------------------------------------------------------------ #
+
+@dataclasses.dataclass
+class DiaGroupCfg:
+    """Static config of one output group (one slot of the GLB_* arrays,
+    mod_dia.F90:278-282)."""
+    fnametag: str = 'hd'
+    aveperio: int = 1      # >0: days per average; <0: -N averages/day
+    filefreq: int = 30     # days of averages per file
+    compflag: int = 0      # 1 = wet-point compressed output
+    ncformat: int = 0      # 0 = classic NetCDF3
+    fields: tuple = ()     # ('name' | (name, op), ...)
+
+    def steps_per_output(self, nstep_in_day: int) -> int:
+        if self.aveperio < 0:
+            return max(1, nstep_in_day // (-self.aveperio))
+        return max(1, self.aveperio * nstep_in_day)
+
+
+_SUFFIX_OPS = {'mn': 'min', 'mx': 'max', 'sq': 'sq'}
+
+
+def _nml_key_to_field(key: str) -> Optional[Tuple[str, str]]:
+    """Map a DIAPHY namelist id (H2D_SST, LYR_TEMP, LVL_SALN,
+    MSC_SSTGA, H2D_MLDL82MN, ...) to a (registry name, op) pair.
+    Returns None for ids with no implemented counterpart."""
+    key = key.lower()
+    for pre in ('h2d_', 'lyr_', 'lvl_', 'msc_', 'acc_'):
+        if key.startswith(pre):
+            kind, name = pre[:-1], key[len(pre):]
+            break
+    else:
+        return None
+    op = 'ave'
+    if kind == 'h2d' and name[-2:] in _SUFFIX_OPS \
+            and name[:-2] in FIELD_REGISTRY:
+        op = _SUFFIX_OPS[name[-2:]]
+        name = name[:-2]
+    if kind == 'lvl':
+        name = name + 'lvl'
+    if name not in FIELD_REGISTRY:
+        return None
+    return name, op
+
+
+def load_diaphy(groups: dict) -> list:
+    """Build per-group configs from a parsed &DIAPHY namelist group
+    (values are scalars or per-group lists, the GLB_* slot convention).
+
+    Unimplemented field ids are ignored (and can be listed via
+    `unsupported_diaphy_keys`)."""
+    if 'DIAPHY' not in groups:
+        return []
+    g = {k.lower(): v for k, v in groups['DIAPHY'].items()}
+
+    def aslist(x):
+        return list(x) if isinstance(x, (list, tuple)) else [x]
+
+    tags = aslist(g.get('glb_fnametag', ['hd']))
+    nphy = len(tags)
+
+    def per_group(key, default):
+        v = aslist(g.get(key, [default] * nphy))
+        return (v + [default] * nphy)[:nphy]
+
+    ave = per_group('glb_aveperio', 1)
+    ffq = per_group('glb_filefreq', 30)
+    cmp_ = per_group('glb_compflag', 0)
+    ncf = per_group('glb_ncformat', 0)
+
+    fields = [[] for _ in range(nphy)]
+    for key, val in g.items():
+        if key.startswith('glb_'):
+            continue
+        mapped = _nml_key_to_field(key)
+        if mapped is None:
+            continue
+        name, op = mapped
+        for i, flag in enumerate(aslist(val)[:nphy]):
+            if int(flag) != 0:
+                fields[i].append((name, op))
+
+    return [DiaGroupCfg(fnametag=str(tags[i]), aveperio=int(ave[i]),
+                        filefreq=int(ffq[i]), compflag=int(cmp_[i]),
+                        ncformat=int(ncf[i]), fields=tuple(fields[i]))
+            for i in range(nphy)]
+
+
+def unsupported_diaphy_keys(groups: dict) -> list:
+    """DIAPHY ids requested by the deck that have no registry
+    counterpart yet (for run-time warnings)."""
+    if 'DIAPHY' not in groups:
+        return []
+    out = []
+    for key in groups['DIAPHY']:
+        kl = key.lower()
+        if kl.startswith('glb_'):
+            continue
+        if _nml_key_to_field(kl) is None:
+            out.append(key)
+    return out
+
+
+def diafnm(runid: str, fnametag: str, time_days: float) -> str:
+    """Diagnostic file name (diafnm, mod_dia.F90:352-446 simplified)."""
+    return f'{runid}_{fnametag}_{time_days:010.3f}.nc'
 
 
 def write_netcdf(path: str, grid: Grid, group: DiaGroup, time_days: float,
@@ -205,17 +472,28 @@ def write_netcdf(path: str, grid: Grid, group: DiaGroup, time_days: float,
         lon = f.createVariable('plon', 'd', ('y', 'x'))
         lon[:] = np.asarray(grid.plon)
 
+        ntr_made = False
         for name, op in _norm_fields(group.fields):
             dims, _ = FIELD_REGISTRY[name]
             mean = np.asarray(group.acc[name])
             if op in ('ave', 'sq'):
                 mean = mean * q
+            if dims == 'scalar':
+                v = f.createVariable(name, 'd', ('time',))
+                v[0] = mean
+                continue
             if dims == '2d':
                 shape = ('time', 'y', 'x')
                 mask = ipm
             elif dims == 'zlv':
                 shape = ('time', 'depth', 'y', 'x')
                 mask = ipm[None]
+            elif dims == 'tr3d':
+                if not ntr_made:
+                    f.createDimension('ntr', mean.shape[0])
+                    ntr_made = True
+                shape = ('time', 'ntr', 'sigma', 'y', 'x')
+                mask = ipm[None, None]
             else:
                 shape = ('time', 'sigma', 'y', 'x')
                 mask = ipm[None]
@@ -260,9 +538,18 @@ def write_netcdf_compressed(path: str, grid: Grid, group: DiaGroup,
             mean = np.asarray(group.acc[name])
             if op in ('ave', 'sq'):
                 mean = mean * q
-            if dims == '2d':
+            if dims == 'scalar':
+                v = f.createVariable(name, 'd', ('time',))
+                v[0] = mean
+            elif dims == '2d':
                 v = f.createVariable(name, 'f', ('time', 'pcomp'))
                 v[0] = mean.ravel()[idx].astype('f4')
+            elif dims == 'tr3d':
+                flat = mean.reshape(mean.shape[0] * mean.shape[1], -1)[:, idx]
+                if 'ntrsig' not in f.dimensions:
+                    f.createDimension('ntrsig', flat.shape[0])
+                v = f.createVariable(name, 'f', ('time', 'ntrsig', 'pcomp'))
+                v[0] = flat.astype('f4')
             else:
                 zdim = 'depth' if dims == 'zlv' else 'sigma'
                 v = f.createVariable(name, 'f', ('time', zdim, 'pcomp'))

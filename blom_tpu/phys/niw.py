@@ -90,9 +90,9 @@ def niw_ke_tendency(grid: Grid, s: State, niw: NiwState, m: int,
     util2 = util2 * grid.iv
     # p-point average of the u/v KE tendencies (mod_niw.F90:198-210)
     nu = jnp.maximum(1., grid.iu + grid.ip1(grid.iu))
-    nv = jnp.maximum(1., grid.iv + grid.jp1(grid.iv))
+    nv = jnp.maximum(1., grid.iv + grid.jp1(grid.iv, 'v'))
     idkedt = (jnp.abs((util1 + grid.ip1(util1)) / nu)
-              + jnp.abs((util2 + grid.jp1(util2)) / nv)) * grid.ip
+              + jnp.abs((util2 + grid.jp1(util2, 'v', True)) / nv)) * grid.ip
 
     return dataclasses.replace(niw, uml=uml_new, vml=vml_new,
                                umlres=umlres, vmlres=vmlres,

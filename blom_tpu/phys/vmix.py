@@ -177,7 +177,7 @@ def difest_vertical(grid: Grid, e: eos.EosParams, s: State,
     n2 = grav * grav * (sig[1:] - sig[:-1]) / dp_mid
 
     u_p = .5 * (s.u[n] + grid.ip1(s.u[n]))
-    v_p = .5 * (s.v[n] + grid.jp1(s.v[n]))
+    v_p = .5 * (s.v[n] + grid.jp1(s.v[n], 'v', True))
     dz = dp_mid * alpha0 / grav
     shear2 = ((u_p[1:] - u_p[:-1]) ** 2 + (v_p[1:] - v_p[:-1]) ** 2) \
         / (dz * dz)
@@ -260,7 +260,7 @@ def bulk_richardson_obl(grid: Grid, e: eos.EosParams, s: State, n: int,
     br = b[0]
 
     u_p = .5 * (s.u[n] + grid.ip1(s.u[n])) + s.ub[n][None]
-    v_p = .5 * (s.v[n] + grid.jp1(s.v[n])) + s.vb[n][None]
+    v_p = .5 * (s.v[n] + grid.jp1(s.v[n], 'v', True)) + s.vb[n][None]
     dv2 = (u_p[0][None] - u_p) ** 2 + (v_p[0][None] - v_p) ** 2
 
     # interface N (for the turbulent shear term)
@@ -329,7 +329,7 @@ def difest_vertical_kpp(grid: Grid, e: eos.EosParams, s: State,
 
     # surface friction velocity from the wind stress
     taux_p = .5 * (forcing.taux + grid.ip1(forcing.taux))
-    tauy_p = .5 * (forcing.tauy + grid.jp1(forcing.tauy))
+    tauy_p = .5 * (forcing.tauy + grid.jp1(forcing.tauy, 'v', True))
     ustar = jnp.sqrt(jnp.sqrt(taux_p ** 2 + tauy_p ** 2) / 1000.)
 
     # surface buoyancy flux: buoyfl[0] (positive = buoyancy loss =>

@@ -49,7 +49,9 @@ def test_build_and_run_case(tmp_path):
     assert np.isfinite(np.asarray(s.dp)).all()
     assert isinstance(crc, int)
     assert (tmp_path / 'run.status').read_text().strip() == 'success'
-    assert (tmp_path / 'tc001_dia.nc').exists()
+    dia_files = [f for f in os.listdir(tmp_path)
+                 if f.startswith('tc001_hd_') and f.endswith('.nc')]
+    assert dia_files
     assert (tmp_path / 'rstdate.txt').exists()
     # a rotating restart was written
     rsts = [f for f in os.listdir(tmp_path) if 'restphy' in f]
