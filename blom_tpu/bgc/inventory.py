@@ -8,14 +8,17 @@ aggregated element budgets (C, P, Si, N, O2, alkalinity) used by the
 reference's use_PBGC_OCNP_TIMESTEP per-process conservation audit
 (extN_inv_check, mo_extNwatercol.F90:457-474).
 
-Sums are f64 jnp.sum reductions (XLA all-reduce under a sharded mesh),
-matching the framework's budget convention (dynamics/budget.py).
+Sums use the fixed-order strip hierarchy of parallel/repsum.py, so
+inventories are bit-identical on any device mesh (the reference's
+xcsum PE-invariance, mod_xc.F90:2071-2192).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
+from ..parallel.repsum import repsum_2d, repsum_3d
 from .params import BgcParams, BgcTracers as T, NBGC
 
 
@@ -36,8 +39,8 @@ def inventory_bgc(oc, dz, area, omask, p: BgcParams, ti=None, sed=None,
     the element aggregates."""
     f64 = jnp.float64
     w = (dz * area[None] * omask[None]).astype(f64)   # cell volumes
-    ztotvol = jnp.sum(w)
-    ztotarea = jnp.sum((area * omask * (dz[0] > 0)).astype(f64))
+    ztotvol = repsum_3d(w)
+    ztotarea = repsum_2d((area * omask * (dz[0] > 0)).astype(f64))
 
     ntr = oc.shape[0]
     if names is None:
@@ -46,7 +49,7 @@ def inventory_bgc(oc, dz, area, omask, p: BgcParams, ti=None, sed=None,
         if len(names) < ntr:
             names = list(names) + [f'trc{i}' for i in
                                    range(len(names), ntr)]
-    tot = jnp.sum(oc.astype(f64) * w[None], axis=(1, 2, 3))
+    tot = jax.vmap(repsum_3d)(oc.astype(f64) * w[None])
 
     inv = {'totvol': ztotvol, 'totarea': ztotarea}
     for i in range(ntr):
@@ -57,7 +60,7 @@ def inventory_bgc(oc, dz, area, omask, p: BgcParams, ti=None, sed=None,
         return tot[idx]
 
     # ODZ volume, O2 < 20 umol/m3 threshold (mo_inventory_bgc.F90:102)
-    inv['odz_volume'] = jnp.sum(jnp.where(
+    inv['odz_volume'] = repsum_3d(jnp.where(
         oc[T.oxygen] < 20.e-6, w, 0.))
 
     # element aggregates (mo_inventory_bgc.F90:405-460)
@@ -85,12 +88,10 @@ def inventory_bgc(oc, dz, area, omask, p: BgcParams, ti=None, sed=None,
               * (area * omask)[None]).astype(f64)
         ps = (jnp.asarray(SEDDW * PORSOL)[:, None, None]
               * (area * omask)[None]).astype(f64)
-        powtot = jnp.sum(sed.powtra.astype(f64) * pw[None],
-                         axis=(1, 2, 3))
-        sedtot = jnp.sum(sed.sedlay.astype(f64) * ps[None],
-                         axis=(1, 2, 3))
-        burtot = jnp.sum(sed.burial.astype(f64)
-                         * (area * omask)[None], axis=(1, 2))
+        powtot = jax.vmap(repsum_3d)(sed.powtra.astype(f64) * pw[None])
+        sedtot = jax.vmap(repsum_3d)(sed.sedlay.astype(f64) * ps[None])
+        burtot = jax.vmap(repsum_2d)(sed.burial.astype(f64)
+                                     * (area * omask)[None])
         inv['total_powtra'] = powtot
         inv['total_sedlay'] = sedtot
         inv['total_burial'] = burtot

@@ -5,9 +5,10 @@ TPU-native re-design of the reference budget checks
 sums of dp, T, S at numbered checkpoints per step via the reproducible
 xcsum, printed as deltas; gated by the cnsvdi namelist flag).
 
-Sums are computed in f64 regardless of the state dtype; under a sharded
-mesh, jnp.sum lowers to an XLA all-reduce.  Fixed-order (bitwise
-PE-invariant) summation is the deterministic-reduction work item."""
+Sums are computed in f64 regardless of the state dtype with the
+fixed-order strip hierarchy of parallel/repsum.py — bitwise identical
+on any device mesh, the PE-invariance property of the reference's
+xcsum (mod_xc.F90:2071-2192)."""
 
 from __future__ import annotations
 
@@ -17,6 +18,7 @@ import jax.numpy as jnp
 
 from ..core.grid import Grid
 from ..core.state import State
+from ..parallel.repsum import repsum_3d
 
 
 class BudgetSums(NamedTuple):
@@ -27,12 +29,13 @@ class BudgetSums(NamedTuple):
 
 def budget_sums(grid: Grid, s: State, lvl: int) -> BudgetSums:
     """Global mass/heat/salt sums of time level `lvl`
-    (budget_sums, mod_budget.F90:69-200)."""
+    (budget_sums, mod_budget.F90:69-200), bit-reproducible across
+    shardings (xcsum strip scheme)."""
     w = (grid.scp2 * grid.ip).astype(jnp.float64)
     dp = s.dp[lvl].astype(jnp.float64)
-    mass = jnp.sum(dp * w)
-    heat = jnp.sum(s.temp[lvl].astype(jnp.float64) * dp * w)
-    salt = jnp.sum(s.saln[lvl].astype(jnp.float64) * dp * w)
+    mass = repsum_3d(dp * w)
+    heat = repsum_3d(s.temp[lvl].astype(jnp.float64) * dp * w)
+    salt = repsum_3d(s.saln[lvl].astype(jnp.float64) * dp * w)
     return BudgetSums(mass=mass, heat=heat, salt=salt)
 
 

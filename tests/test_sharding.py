@@ -60,3 +60,48 @@ def test_single_vs_8device_mesh():
         np.testing.assert_allclose(
             a, b, rtol=1e-9, atol=1e-9 * scale.get(name, 1.0),
             err_msg=f'{name} differs between 1-device and 8-device runs')
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_repsum_bitwise_sharding_invariant():
+    """The fixed-order reduction is BIT-identical between an unsharded
+    and an 8-device-sharded layout (xcsum PE-invariance,
+    mod_xc.F90:2071-2192) — and differs from jnp.sum only at roundoff."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from blom_tpu.parallel.repsum import repsum_2d, repsum_3d
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.uniform(-1., 1., (6, 32, 64)))
+
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    sh = NamedSharding(mesh, P(None, 'y', 'x'))
+    a_sh = jax.device_put(a, sh)
+
+    s1 = jax.jit(repsum_3d)(a)
+    s8 = jax.jit(repsum_3d)(a_sh)
+    assert float(s1) == float(s8)          # bitwise
+    assert np.isclose(float(s1), float(jnp.sum(a)), rtol=1e-12)
+
+    b = a[0]
+    b_sh = jax.device_put(b, NamedSharding(mesh, P('y', 'x')))
+    assert float(jax.jit(repsum_2d)(b)) == float(jax.jit(repsum_2d)(b_sh))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_budget_sums_bitwise_sharding_invariant():
+    """budget_sums (now repsum-based) is bit-identical on a sharded
+    state."""
+    from blom_tpu.dynamics.budget import budget_sums
+
+    model = standalone.build_fuk95(itdm=64, jtdm=32, kdm=6)
+    b1 = jax.jit(lambda s: budget_sums(model.grid, s, 1))(model.state)
+
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    grid_s = pmesh.shard_pytree(model.grid, mesh)
+    state_s = pmesh.shard_pytree(model.state, mesh)
+    b8 = jax.jit(lambda s: budget_sums(grid_s, s, 1))(state_s)
+
+    assert float(b1.mass) == float(b8.mass)
+    assert float(b1.heat) == float(b8.heat)
+    assert float(b1.salt) == float(b8.salt)
