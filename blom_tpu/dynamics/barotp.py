@@ -10,10 +10,15 @@ substep (`lax.cond` on substep parity, matching mod_barotp.F90:381-384's
 odd/even branches), and the two working time levels live on a leading
 axis of size 2 whose ml/nl roles are locked to the substep parity.
 
-On a single device the reference's every-2nd-substep halo exchange
-(mod_barotp.F90:387-397) is the periodic roll built into the stencil
-shifts; under shard_map the same cadence is recovered by margin-2 halos.
-"""
+Structure: `_prologue` computes the per-baroclinic-step fields
+(velocity bounds, damping, barotropic PV) with global stencil ops;
+`make_substep`/`run_blocks` is the substep machinery over an explicit
+field bundle with injected shift functions, so the same core runs
+(a) on global arrays (this module's `barotp`; GSPMD halos every
+substep) and (b) on halo-widened local blocks under `shard_map` with
+margin-k exchange every few substeps (barotp_shmap.py — the
+reference's margin-2 every-2nd-substep trick, mod_barotp.F90:387-397,
+generalized)."""
 
 from __future__ import annotations
 
@@ -46,16 +51,13 @@ def _set_slot(a, idx, val):
     return jnp.where(sel, val[None], a)
 
 
-def barotp(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
-           lstep: int, dlt: float, par: BarotpParams) -> State:
-    kk = grid.kk
+def _prologue(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
+              par: BarotpParams):
+    """Per-baroclinic-step precomputation (mod_barotp.F90:168-346):
+    velocity bounds, coastal damping, barotropic PV, and the bundle of
+    2-D fields the substep core consumes."""
     ip, iu, iv, iq = grid.ip, grid.iu, grid.iv, grid.iq
-    im1, ip1, jm1, jp1 = grid.im1, grid.ip1, grid.jm1, grid.jp1
-    # fold-aware j+1 reads (tripolar): v-grid vectors flip sign, q-grid
-    # scalars mirror (mod_xc.F90:2405-2700; barotp's arctic halo swaps,
-    # mod_barotp.F90:290-319)
-    jp1vv = lambda a: grid.jp1(a, 'v', True)    # noqa: E731
-    jp1q = lambda a: grid.jp1(a, 'q')           # noqa: E731
+    im1, jm1 = grid.im1, grid.jm1
 
     # ---- velocity bounds and coastal damping (mod_barotp.F90:168-225)
     u_n_max = jnp.max(jnp.maximum(s.u[n], 0.), axis=0)
@@ -70,7 +72,6 @@ def barotp(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
     vglue = par.cwbdts * jnp.exp(1. - s.pbv[m] / (par.cwbdls * onem)) * iv
 
     # ---- potential vorticity of barotropic flow (mod_barotp.F90:227-286)
-    pvtrop_o = s.pvtrop[n]
     pbp = jnp.maximum(s.pb_p, epsilp)
     pv_from_u = grid.corioq * 2. / (pbp + im1(pbp))       # at q over u(i,j)
     pv_from_v = grid.corioq * 2. / (pbp + jm1(pbp))       # at q over v(i,j)
@@ -84,13 +85,61 @@ def barotp(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
                     grid.corioq * 2. / (im1(pbp) + im1(jm1(pbp))), pvt)
     pvt = jnp.where(iv > 0, pv_from_v, pvt)
     pvt = jnp.where(iq > 0, pv_int, pvt)
-    pvtrop_n = pvt
-    pvtrop_m = s.pvtrop[m]
 
-    pgfxm_o, pgfym_o = s.pgfxm_o, s.pgfym_o
-    xixp_o, xixm_o = s.xixp_o, s.xixm_o
-    xiyp_o, xiym_o = s.xiyp_o, s.xiym_o
+    fld = {
+        'ip': ip, 'iu': iu, 'iv': iv,
+        'scuy': grid.scuy, 'scvx': grid.scvx, 'scp2i': grid.scp2i,
+        'scuxi': grid.scuxi, 'scvyi': grid.scvyi,
+        'scvxi': grid.scvxi, 'scuyi': grid.scuyi,
+        'pvtrop_o': s.pvtrop[n], 'pvtrop_m': s.pvtrop[m],
+        'pvtrop_n': pvt,
+        'pgfxm_o': s.pgfxm_o, 'pgfym_o': s.pgfym_o,
+        'xixp_o': s.xixp_o, 'xixm_o': s.xixm_o,
+        'xiyp_o': s.xiyp_o, 'xiym_o': s.xiym_o,
+        'pgfxm_m': s.pgfxm[m], 'pgfxm_n': s.pgfxm[n],
+        'pgfym_m': s.pgfym[m], 'pgfym_n': s.pgfym[n],
+        'xixp_m': s.xixp[m], 'xixp_n': s.xixp[n],
+        'xixm_m': s.xixm[m], 'xixm_n': s.xixm[n],
+        'xiyp_m': s.xiyp[m], 'xiyp_n': s.xiyp[n],
+        'xiym_m': s.xiym[m], 'xiym_n': s.xiym[n],
+        'utotn': utotn, 'vtotn': vtotn,
+        'uglue': uglue, 'vglue': vglue,
+        'umaxb': umaxb, 'uminb': uminb,
+        'vmaxb': vmaxb, 'vminb': vminb,
+        'pb_t': s.pb_mn, 'ubflx_t': s.ubflx_mn, 'vbflx_t': s.vbflx_mn,
+    }
+    return fld
 
+
+class Shifts(NamedTuple):
+    im1: object
+    ip1: object
+    jm1: object
+    jp1v: object    # j+1 read of a v-grid vector (fold-aware globally)
+    jp1q: object    # j+1 read of a q-grid scalar
+
+
+def global_shifts(grid: Grid) -> Shifts:
+    return Shifts(im1=grid.im1, ip1=grid.ip1, jm1=grid.jm1,
+                  jp1v=lambda a: grid.jp1(a, 'v', True),
+                  jp1q=lambda a: grid.jp1(a, 'q'))
+
+
+def local_shifts() -> Shifts:
+    """Shifts on a halo-widened local block: plain rolls (ghost rings
+    absorb the wrap garbage; validity bookkeeping lives in the caller's
+    margin schedule)."""
+    def sh(off, axis):
+        return lambda a: jnp.roll(a, -off, axis=axis)
+    return Shifts(im1=sh(-1, -1), ip1=sh(1, -1), jm1=sh(-1, -2),
+                  jp1v=sh(1, -2), jp1q=sh(1, -2))
+
+
+def make_substep(fld, sh: Shifts, lstep: int, dlt, par: BarotpParams):
+    """Build the per-substep update closure over a field bundle
+    (mod_barotp.F90:360-838)."""
+    im1, ip1, jm1 = sh.im1, sh.ip1, sh.jm1
+    jp1v, jp1q = sh.jp1v, sh.jp1q
     half = lstep // 2
 
     def weights(nb, lll):
@@ -112,30 +161,36 @@ def barotp(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
 
     def pgf_terms_u(wo, wm, wn, pb_nl):
         pbw = im1(pb_nl)
-        return (wo * (pgfxm_o - (xixp_o * pb_nl - xixm_o * pbw))
-                + wm * (s.pgfxm[m] - (s.xixp[m] * pb_nl - s.xixm[m] * pbw))
-                + wn * (s.pgfxm[n] - (s.xixp[n] * pb_nl - s.xixm[n] * pbw))) \
-            * grid.scuxi
+        return (wo * (fld['pgfxm_o']
+                      - (fld['xixp_o'] * pb_nl - fld['xixm_o'] * pbw))
+                + wm * (fld['pgfxm_m']
+                        - (fld['xixp_m'] * pb_nl - fld['xixm_m'] * pbw))
+                + wn * (fld['pgfxm_n']
+                        - (fld['xixp_n'] * pb_nl - fld['xixm_n'] * pbw))) \
+            * fld['scuxi']
 
     def pgf_terms_v(wo, wm, wn, pb_nl):
         pbs = jm1(pb_nl)
-        return (wo * (pgfym_o - (xiyp_o * pb_nl - xiym_o * pbs))
-                + wm * (s.pgfym[m] - (s.xiyp[m] * pb_nl - s.xiym[m] * pbs))
-                + wn * (s.pgfym[n] - (s.xiyp[n] * pb_nl - s.xiym[n] * pbs))) \
-            * grid.scvyi
+        return (wo * (fld['pgfym_o']
+                      - (fld['xiyp_o'] * pb_nl - fld['xiym_o'] * pbs))
+                + wm * (fld['pgfym_m']
+                        - (fld['xiyp_m'] * pb_nl - fld['xiym_m'] * pbs))
+                + wn * (fld['pgfym_n']
+                        - (fld['xiyp_n'] * pb_nl - fld['xiym_n'] * pbs))) \
+            * fld['scvyi']
 
     def coriolis_u(vb_src, pvt_w):
         """q term of the u momentum equation (mod_barotp.F90:428-435
         enscon / :471-480 enecon)."""
-        vsx = vb_src * grid.scvxi
+        vsx = vb_src * fld['scvxi']
         if par.mommth == 'enscon':
-            return (vsx + jp1vv(vsx) + im1(vsx) + im1(jp1vv(vsx))) \
+            return (vsx + jp1v(vsx) + im1(vsx) + im1(jp1v(vsx))) \
                 * (pvt_w + jp1q(pvt_w)) * .125
         return .25 * ((vsx + im1(vsx)) * pvt_w
-                      + (jp1vv(vsx) + im1(jp1vv(vsx))) * jp1q(pvt_w))
+                      + (jp1v(vsx) + im1(jp1v(vsx))) * jp1q(pvt_w))
 
     def coriolis_v(ub_src, pvt_w):
-        usy = ub_src * grid.scuyi
+        usy = ub_src * fld['scuyi']
         if par.mommth == 'enscon':
             return -(usy + ip1(usy) + jm1(usy) + ip1(jm1(usy))) \
                 * (pvt_w + ip1(pvt_w)) * .125
@@ -145,104 +200,127 @@ def barotp(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
     def continuity(pb_ml, pb_nl, ubf_ml, vbf_ml):
         return ((1. - wbaro) * pb_ml + wbaro * pb_nl
                 - (1. + wbaro) * dlt
-                * (ip1(ubf_ml) - ubf_ml + jp1vv(vbf_ml) - vbf_ml)
-                * grid.scp2i) * ip
+                * (ip1(ubf_ml) - ubf_ml + jp1v(vbf_ml) - vbf_ml)
+                * fld['scp2i']) * fld['ip']
 
     def u_update(ubf_ml, ubf_nl, pb_nl, utndcy):
         new = ((1. - wbaro) * ubf_ml + wbaro * ubf_nl
                + (1. + wbaro) * dlt
-               * ((utndcy + utotn) * grid.scuy
+               * ((utndcy + fld['utotn']) * fld['scuy']
                   * jnp.minimum(im1(pb_nl), pb_nl)
-                  - uglue * ubf_ml))
-        return jnp.clip(new, -uminb, umaxb) * iu
+                  - fld['uglue'] * ubf_ml))
+        return jnp.clip(new, -fld['uminb'], fld['umaxb']) * fld['iu']
 
     def v_update(vbf_ml, vbf_nl, pb_nl, vtndcy):
         new = ((1. - wbaro) * vbf_ml + wbaro * vbf_nl
                + (1. + wbaro) * dlt
-               * ((vtndcy + vtotn) * grid.scvx
+               * ((vtndcy + fld['vtotn']) * fld['scvx']
                   * jnp.minimum(jm1(pb_nl), pb_nl)
-                  - vglue * vbf_ml))
-        return jnp.clip(new, -vminb, vmaxb) * iv
+                  - fld['vglue'] * vbf_ml))
+        return jnp.clip(new, -fld['vminb'], fld['vmaxb']) * fld['iv']
 
-    def make_substep(nb):
-        def substep(carry, lll):
-            pb_t, ubflx_t, vbflx_t, us_t, vs_t, uc_t, vc_t = carry
-            odd = (lll % 2) == 1
-            ml = jnp.where(odd, 0, 1)
-            nl = 1 - ml
-            wo, wm, wn = weights(nb, lll)
-            pvt_w = wo * pvtrop_o + wm * pvtrop_m + wn * pvtrop_n
+    def substep(nb, carry, lll):
+        pb_t, ubflx_t, vbflx_t, us_t, vs_t, uc_t, vc_t = carry
+        odd = (lll % 2) == 1
+        ml = jnp.where(odd, 0, 1)
+        nl = 1 - ml
+        wo, wm, wn = weights(nb, lll)
+        pvt_w = (wo * fld['pvtrop_o'] + wm * fld['pvtrop_m']
+                 + wn * fld['pvtrop_n'])
 
-            pb_ml = _slot(pb_t, ml)
-            pb_nl = _slot(pb_t, nl)
-            ubf_ml = _slot(ubflx_t, ml)
-            ubf_nl = _slot(ubflx_t, nl)
-            vbf_ml = _slot(vbflx_t, ml)
-            vbf_nl = _slot(vbflx_t, nl)
+        pb_ml = _slot(pb_t, ml)
+        pb_nl = _slot(pb_t, nl)
+        ubf_ml = _slot(ubflx_t, ml)
+        ubf_nl = _slot(ubflx_t, nl)
+        vbf_ml = _slot(vbflx_t, ml)
+        vbf_nl = _slot(vbflx_t, nl)
 
-            pb_new = continuity(pb_ml, pb_nl, ubf_ml, vbf_ml)
+        pb_new = continuity(pb_ml, pb_nl, ubf_ml, vbf_ml)
 
-            def odd_branch(_):
-                # u first with v(ml); then v with the new u
-                # (mod_barotp.F90:399-615)
-                us = us_t - wbaro * ubf_nl + (1. + wbaro) * ubf_ml
-                qu = coriolis_u(vbf_ml, pvt_w)
-                uc = uc_t + qu
-                utndcy = qu + pgf_terms_u(wo, wm, wn, pb_new)
-                ubf_new = u_update(ubf_ml, ubf_nl, pb_new, utndcy)
+        def odd_branch(_):
+            # u first with v(ml); then v with the new u
+            # (mod_barotp.F90:399-615)
+            us = us_t - wbaro * ubf_nl + (1. + wbaro) * ubf_ml
+            qu = coriolis_u(vbf_ml, pvt_w)
+            uc = uc_t + qu
+            utndcy = qu + pgf_terms_u(wo, wm, wn, pb_new)
+            ubf_new = u_update(ubf_ml, ubf_nl, pb_new, utndcy)
 
-                vs = vs_t - wbaro * vbf_nl + (1. + wbaro) * vbf_ml
-                qv = coriolis_v(ubf_new, pvt_w)
-                vc = vc_t + qv
-                vtndcy = qv + pgf_terms_v(wo, wm, wn, pb_new)
-                vbf_new = v_update(vbf_ml, vbf_nl, pb_new, vtndcy)
-                return ubf_new, vbf_new, us, vs, uc, vc
+            vs = vs_t - wbaro * vbf_nl + (1. + wbaro) * vbf_ml
+            qv = coriolis_v(ubf_new, pvt_w)
+            vc = vc_t + qv
+            vtndcy = qv + pgf_terms_v(wo, wm, wn, pb_new)
+            vbf_new = v_update(vbf_ml, vbf_nl, pb_new, vtndcy)
+            return ubf_new, vbf_new, us, vs, uc, vc
 
-            def even_branch(_):
-                # v first with u(ml); then u with the new v
-                # (mod_barotp.F90:617-838)
-                vs = vs_t - wbaro * vbf_nl + (1. + wbaro) * vbf_ml
-                qv = coriolis_v(ubf_ml, pvt_w)
-                vc = vc_t + qv
-                vtndcy = qv + pgf_terms_v(wo, wm, wn, pb_new)
-                vbf_new = v_update(vbf_ml, vbf_nl, pb_new, vtndcy)
+        def even_branch(_):
+            # v first with u(ml); then u with the new v
+            # (mod_barotp.F90:617-838)
+            vs = vs_t - wbaro * vbf_nl + (1. + wbaro) * vbf_ml
+            qv = coriolis_v(ubf_ml, pvt_w)
+            vc = vc_t + qv
+            vtndcy = qv + pgf_terms_v(wo, wm, wn, pb_new)
+            vbf_new = v_update(vbf_ml, vbf_nl, pb_new, vtndcy)
 
-                us = us_t - wbaro * ubf_nl + (1. + wbaro) * ubf_ml
-                qu = coriolis_u(vbf_new, pvt_w)
-                uc = uc_t + qu
-                utndcy = qu + pgf_terms_u(wo, wm, wn, pb_new)
-                ubf_new = u_update(ubf_ml, ubf_nl, pb_new, utndcy)
-                return ubf_new, vbf_new, us, vs, uc, vc
+            us = us_t - wbaro * ubf_nl + (1. + wbaro) * ubf_ml
+            qu = coriolis_u(vbf_new, pvt_w)
+            uc = uc_t + qu
+            utndcy = qu + pgf_terms_u(wo, wm, wn, pb_new)
+            ubf_new = u_update(ubf_ml, ubf_nl, pb_new, utndcy)
+            return ubf_new, vbf_new, us, vs, uc, vc
 
-            ubf_new, vbf_new, us, vs, uc, vc = lax.cond(
-                odd, odd_branch, even_branch, None)
+        ubf_new, vbf_new, us, vs, uc, vc = lax.cond(
+            odd, odd_branch, even_branch, None)
 
-            pb_t = _set_slot(pb_t, nl, pb_new)
-            ubflx_t = _set_slot(ubflx_t, nl, ubf_new)
-            vbflx_t = _set_slot(vbflx_t, nl, vbf_new)
-            return (pb_t, ubflx_t, vbflx_t, us, vs, uc, vc), None
+        pb_t = _set_slot(pb_t, nl, pb_new)
+        ubflx_t = _set_slot(ubflx_t, nl, ubf_new)
+        vbflx_t = _set_slot(vbflx_t, nl, vbf_new)
+        return (pb_t, ubflx_t, vbflx_t, us, vs, uc, vc)
 
-        return substep
+    return substep
 
-    # ---- initial working state (mod_barotp.F90:330-346 nb==1 init)
-    pb_t = s.pb_mn
-    ubflx_t = s.ubflx_mn
-    vbflx_t = s.vbflx_mn
 
-    z = jnp.zeros_like(s.pb_p)
-    ubflxs = s.ubflxs
-    vbflxs = s.vbflxs
-    ubflxs_p = s.ubflxs_p
-    vbflxs_p = s.vbflxs_p
-    ubcors_p = s.ubcors_p
-    vbcors_p = s.vbcors_p
+def block_scan(substep, nb, half, carry):
+    """Run one weight block of `half` substeps via lax.scan."""
+    lll0 = 1 + (nb - 1) * half
+    llls = lll0 + jnp.arange(half)
+
+    def body(c, lll):
+        return substep(nb, c, lll), None
+
+    carry, _ = lax.scan(body, carry, llls)
+    return carry
+
+
+def run_blocks(fld, sh: Shifts, s_ubflxs, s_vbflxs, s_ubflxs_p,
+               s_vbflxs_p, m: int, n: int, lstep: int, dlt,
+               par: BarotpParams, im1, jm1, iu, iv, ip,
+               block_runner=None):
+    """The five weight blocks (mod_barotp.F90:328-986).
+
+    `block_runner(nb, substep, half, carry) -> carry`, when given,
+    replaces the default lax.scan — the shard_map driver substitutes a
+    margin-k halo-amortized loop."""
+    substep = make_substep(fld, sh, lstep, dlt, par)
+    half = lstep // 2
+    runner = block_runner or (lambda nb, sub, h, c: block_scan(sub, nb, h, c))
+
+    pb_t = fld['pb_t']
+    ubflx_t = fld['ubflx_t']
+    vbflx_t = fld['vbflx_t']
+
+    z = jnp.zeros_like(pb_t[0])
+    ubflxs = s_ubflxs
+    vbflxs = s_vbflxs
+    ubflxs_p = s_ubflxs_p
+    vbflxs_p = s_vbflxs_p
+    ubcors_p = z
+    vbcors_p = z
     out = {}
 
     for nb in (1, 2, 3, 4, 5):
-        lll0 = 1 + (nb - 1) * half
-        llls = lll0 + jnp.arange(half)
         carry = (pb_t, ubflx_t, vbflx_t, z, z, z, z)
-        carry, _ = lax.scan(make_substep(nb), carry, llls)
+        carry = runner(nb, substep, half, carry)
         pb_t, ubflx_t, vbflx_t, us_t, vs_t, uc_t, vc_t = carry
         ml_end = (nb * half) % 2   # slot holding 'ml' after the block
 
@@ -256,9 +334,9 @@ def barotp(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
             out['ubflx_m'] = ubflx_t[ml_end] * iu
             out['vbflx_m'] = vbflx_t[ml_end] * iv
             out['ub_m'] = ubflx_t[ml_end] \
-                / jnp.maximum(pbu_m * grid.scuy, epsilp) * iu
+                / jnp.maximum(pbu_m * fld['scuy'], epsilp) * iu
             out['vb_m'] = vbflx_t[ml_end] \
-                / jnp.maximum(pbv_m * grid.scvx, epsilp) * iv
+                / jnp.maximum(pbv_m * fld['scvx'], epsilp) * iv
             ubflxs = ubflxs.at[n].add(us_t)
             ubflxs = ubflxs.at[m].set(ubflxs[2] + us_t)
             vbflxs = vbflxs.at[n].add(vs_t)
@@ -285,9 +363,9 @@ def barotp(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
             out['ubflx_n'] = ubflx_t[ml_end] * iu
             out['vbflx_n'] = vbflx_t[ml_end] * iv
             out['ub_n'] = ubflx_t[ml_end] \
-                / jnp.maximum(pbu_n * grid.scuy, epsilp) * iu
+                / jnp.maximum(pbu_n * fld['scuy'], epsilp) * iu
             out['vb_n'] = vbflx_t[ml_end] \
-                / jnp.maximum(pbv_n * grid.scvx, epsilp) * iv
+                / jnp.maximum(pbv_n * fld['scvx'], epsilp) * iv
             ubflxs_p = ubflxs_p.at[m].set(ubflxs[m] + us_t)
             ubflxs_p = ubflxs_p.at[n].add(us_t)
             vbflxs_p = vbflxs_p.at[m].set(vbflxs[m] + vs_t)
@@ -310,6 +388,16 @@ def barotp(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
             ubcors_p = ubcors_p + uc_t
             vbcors_p = vbcors_p + vc_t
 
+    sums = {'ubflxs': ubflxs, 'vbflxs': vbflxs,
+            'ubflxs_p': ubflxs_p, 'vbflxs_p': vbflxs_p,
+            'ubcors_p': ubcors_p, 'vbcors_p': vbcors_p}
+    return out, sums
+
+
+def finalize(grid: Grid, s: State, m: int, n: int, out: dict,
+             sums: dict) -> State:
+    """Write block outputs back into the State (the per-block stores of
+    mod_barotp.F90:848-986)."""
     return dataclasses.replace(
         s,
         pb=s.pb.at[m].set(out['pb_m']).at[n].set(out['pb_n']),
@@ -321,8 +409,22 @@ def barotp(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
         vbflx=s.vbflx.at[m].set(out['vbflx_m']).at[n].set(out['vbflx_n']),
         pb_mn=out['pb_mn'], ubflx_mn=out['ubflx_mn'],
         vbflx_mn=out['vbflx_mn'],
-        ubflxs=ubflxs, vbflxs=vbflxs,
-        ubflxs_p=ubflxs_p, vbflxs_p=vbflxs_p,
-        ubcors_p=ubcors_p, vbcors_p=vbcors_p,
+        ubflxs=sums['ubflxs'], vbflxs=sums['vbflxs'],
+        ubflxs_p=sums['ubflxs_p'], vbflxs_p=sums['vbflxs_p'],
+        ubcors_p=sums['ubcors_p'], vbcors_p=sums['vbcors_p'],
         pb_p=out['pb_p'], pbu_p=out['pbu_p'], pbv_p=out['pbv_p'],
-        pvtrop=s.pvtrop.at[n].set(pvtrop_n))
+        pvtrop=s.pvtrop.at[n].set(out['pvtrop_n']))
+
+
+def barotp(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
+           lstep: int, dlt, par: BarotpParams) -> State:
+    """Global-array driver: stencil shifts lower to GSPMD collectives
+    under a sharded mesh (every substep).  For the margin-k amortized
+    version see barotp_shmap.make_barotp_shmap."""
+    fld = _prologue(grid, s, utotn, vtotn, m, n, par)
+    out, sums = run_blocks(
+        fld, global_shifts(grid), s.ubflxs, s.vbflxs, s.ubflxs_p,
+        s.vbflxs_p, m, n, lstep, dlt, par,
+        im1=grid.im1, jm1=grid.jm1, iu=grid.iu, iv=grid.iv, ip=grid.ip)
+    out['pvtrop_n'] = fld['pvtrop_n']
+    return finalize(grid, s, m, n, out, sums)

@@ -1,0 +1,172 @@
+"""Margin-k halo-amortized barotropic solver under shard_map.
+
+The production multi-chip path for the barotropic subcycling
+(reference: /root/reference/phy/mod_barotp.F90:387-397 — pb_t/ubflx_t/
+vbflx_t halos exchanged with margin 2 every 2nd substep, so ~30-100
+substeps cost ~15-50 exchanges instead of one per stencil op).
+
+Under plain GSPMD the substep scan emits collective-permutes for every
+stencil shift of every substep (~8 per substep).  Here the whole
+subcycle runs inside `shard_map`: the per-step constant fields are
+halo-widened ONCE to `margin` ghost rings, and the working time levels
+are exchanged every `SUBS_PER_EXCH` substeps.  Each substep's chained
+updates (pb -> u -> v) consume up to 3 ghost rings, so margin 6 buys 2
+substeps per exchange: collective count per baroclinic step drops from
+~8*lstep to ~4*lstep/2 + one-off widening (~10x fewer; measured in
+tests/test_barotp_shmap.py by counting collective-permutes in the
+compiled HLO).
+
+Restrictions: tripolar (arctic) grids take the GSPMD path for now —
+the fold permute inside shard_map is a later work item.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.grid import Grid
+from ..core.state import State
+from ..parallel.halo import halo_exchange
+from . import barotp as bt
+
+#: ghost rings consumed by one substep's chained pb->u->v updates
+RINGS_PER_SUBSTEP = 3
+#: substeps between exchanges; margin = RINGS_PER_SUBSTEP * SUBS_PER_EXCH
+SUBS_PER_EXCH = 2
+
+
+def make_barotp_shmap(mesh, subs_per_exch: int = SUBS_PER_EXCH):
+    """Build a drop-in replacement for dynamics.barotp.barotp that runs
+    the subcycle inside shard_map over `mesh` (axes ('y', 'x')) with
+    margin-k amortized halo exchange."""
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ny, nx = mesh.devices.shape
+    margin = RINGS_PER_SUBSTEP * subs_per_exch
+
+    def barotp_fn(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
+                  lstep: int, dlt, par: bt.BarotpParams) -> State:
+        if grid.arctic:
+            # fold-aware exchange inside shard_map not implemented;
+            # use the GSPMD path
+            return bt.barotp(grid, s, utotn, vtotn, m, n, lstep, dlt,
+                             par)
+        fld = bt._prologue(grid, s, utotn, vtotn, m, n, par)
+        per_i, per_j = grid.periodic_i, grid.periodic_j
+        half = lstep // 2
+
+        def wide(a):
+            """Halo-widen a local block to `margin` ghost rings."""
+            return halo_exchange(a, margin, ny, nx, per_i, per_j)
+
+        def crop(a):
+            return a[..., margin:-margin, margin:-margin]
+
+        def wide_tree(tree):
+            """Halo-widen a whole pytree with ONE exchange: stack all
+            leaves into a single (N, j, i) array, exchange, unstack —
+            4 collective-permutes total regardless of field count."""
+            leaves, treedef = jax.tree.flatten(tree)
+            sizes = [int(np.prod(l.shape[:-2])) if l.ndim > 2 else 1
+                     for l in leaves]
+            st = jnp.concatenate(
+                [l.reshape((-1,) + l.shape[-2:]) for l in leaves], 0)
+            st = wide(st)
+            outs = []
+            pos = 0
+            for l, sz in zip(leaves, sizes):
+                blk = st[pos:pos + sz]
+                outs.append(blk.reshape(l.shape[:-2] + blk.shape[-2:]))
+                pos += sz
+            return jax.tree.unflatten(treedef, outs)
+
+
+        def local(fld_l, ubflxs, vbflxs, ubflxs_p, vbflxs_p):
+            # widen every per-step-constant field once (one exchange)
+            fld_w, ubflxs, vbflxs, ubflxs_p, vbflxs_p = wide_tree(
+                (fld_l, ubflxs, vbflxs, ubflxs_p, vbflxs_p))
+            sh = bt.local_shifts()
+            substep = bt.make_substep(fld_w, sh, lstep, dlt, par)
+
+            def exch_carries(pb_t, ubflx_t, vbflx_t):
+                """One stacked margin-M exchange of the working time
+                levels (the xctilr of mod_barotp.F90:387-397)."""
+                st = jnp.concatenate(
+                    [crop(pb_t), crop(ubflx_t), crop(vbflx_t)], axis=0)
+                st = wide(st)
+                return st[:2], st[2:4], st[4:6]
+
+            def runner(nb, substep_fn, half_, carry):
+                # carry fields live at the widened shape; every
+                # subs_per_exch substeps: crop, exchange, continue
+                nex = -(-half_ // subs_per_exch)
+
+                def body(c, ex):
+                    pb_t, ubflx_t, vbflx_t, us, vs, uc, vc = c
+                    pb_t, ubflx_t, vbflx_t = exch_carries(
+                        pb_t, ubflx_t, vbflx_t)
+                    c = (pb_t, ubflx_t, vbflx_t, us, vs, uc, vc)
+                    lll0 = 1 + (nb - 1) * half_ + ex * subs_per_exch
+
+                    def sub_body(cc, k):
+                        lll = lll0 + k
+                        cc2 = substep_fn(nb, cc, lll)
+                        # past-the-end substeps of the last partial
+                        # exchange group are no-ops
+                        keep = (lll <= nb * half_)
+                        return jax.tree.map(
+                            lambda x2, x1: jnp.where(keep, x2, x1),
+                            cc2, cc), None
+
+                    c, _ = lax.scan(sub_body, c, jnp.arange(subs_per_exch))
+                    return c, None
+
+                c = carry
+                c, _ = lax.scan(body, c, jnp.arange(nex))
+                return c
+
+            out, sums = bt.run_blocks(
+                fld_w, sh, ubflxs, vbflxs, ubflxs_p, vbflxs_p,
+                m, n, lstep, dlt, par,
+                im1=sh.im1, jm1=sh.jm1,
+                iu=fld_w['iu'], iv=fld_w['iv'], ip=fld_w['ip'],
+                block_runner=runner)
+            out = {k: crop(v) for k, v in out.items()}
+            sums = {k: crop(v) for k, v in sums.items()}
+            return out, sums
+
+        def specs_like(tree):
+            return jax.tree.map(
+                lambda a: P(*([None] * (a.ndim - 2) + ['y', 'x'])), tree)
+
+        args = (fld, s.ubflxs, s.vbflxs, s.ubflxs_p, s.vbflxs_p)
+        in_specs = specs_like(args)
+
+        def osp(extra):
+            return P(*([None] * extra + ['y', 'x']))
+
+        out_keys_2d = ('pb_m', 'pbu_m', 'pbv_m', 'ubflx_m', 'vbflx_m',
+                       'ub_m', 'vb_m', 'pb_n', 'pbu_n', 'pbv_n',
+                       'ubflx_n', 'vbflx_n', 'ub_n', 'vb_n',
+                       'pb_p', 'pbu_p', 'pbv_p')
+        out_keys_3d = ('pb_mn', 'ubflx_mn', 'vbflx_mn')
+        out_spec = {k: osp(0) for k in out_keys_2d}
+        out_spec.update({k: osp(1) for k in out_keys_3d})
+        sums_spec = {'ubflxs': osp(1), 'vbflxs': osp(1),
+                     'ubflxs_p': osp(1), 'vbflxs_p': osp(1),
+                     'ubcors_p': osp(0), 'vbcors_p': osp(0)}
+        out_specs = (out_spec, sums_spec)
+
+        out, sums = shard_map(local, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)(*args)
+        out['pvtrop_n'] = fld['pvtrop_n']
+        return bt.finalize(grid, s, m, n, out, sums)
+
+    return barotp_fn

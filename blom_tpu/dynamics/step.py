@@ -75,6 +75,8 @@ class StepParams(NamedTuple):
     thermf: Optional[ThermfParams] = ThermfParams()
     mxlayr: MxlayrParams = MxlayrParams()
     ltedtp: str = 'layer'     # 'layer' | 'neutral' (mod_diffusion.F90:99)
+    barotp_fn: object = None  # override: margin-k shard_map solver
+    #                           (barotp_shmap.make_barotp_shmap)
 
 
 def _difest_v(par: 'StepParams'):
@@ -265,8 +267,10 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
 
     ckpt(n)   # budget_sums(5,n) after updtrc (:215)
 
-    # barotropic solve (mod_blom_step.F90:218)
-    s = barotp(grid, s, utotn, vtotn, m, n, par.lstep, dlt, par.barotp)
+    # barotropic solve (mod_blom_step.F90:218); the shard_map margin-k
+    # solver can be substituted via par.barotp_fn (mod_barotp.F90:387-397)
+    s = (par.barotp_fn or barotp)(grid, s, utotn, vtotn, m, n,
+                                  par.lstep, dlt, par.barotp)
 
     # post-barotropic mass-flux correction (mod_blom_step.F90:221)
     s = pbcor2(grid, e, s, m, n, dlt)
