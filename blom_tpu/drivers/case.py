@@ -96,6 +96,17 @@ def run_case(model, cfg: RunConfig, rundir: str = '.',
         dia_mod.init_group(model.grid, model.state, gc.fields,
                            forcing=model.forcing, dfl=model.dfl)
         for gc in gcfgs)
+
+    # BGC output group (mo_bgcmean.F90 accumulation; alarm rides the
+    # same GLB_* framework with the 'bgcm' file tag)
+    if getattr(model.par, 'itrbgc', -1) >= 0:
+        from ..bgc import bgcmean as bgcm_mod
+        groups = groups + (bgcm_mod.init_bgcm(
+            model.grid, model.state, model.par.itrbgc,
+            ti=model.par.bgc_ti),)
+        gcfgs.append(dia_mod.DiaGroupCfg(
+            fnametag='bgcm', aveperio=max(1, cfg.nday2 - cfg.nday1)))
+
     periods = [gc.steps_per_output(nspd) for gc in gcfgs]
 
     # the chunk length must divide every output period so alarms fire
@@ -131,13 +142,20 @@ def run_case(model, cfg: RunConfig, rundir: str = '.',
             print(f'budget deltas over steps {done + 1}..{done + n}: '
                   f'{budget_deltas(first, last)}')
         done += n
-        # per-group output alarms (diaout, mod_dia.F90:2311-3300)
+        # per-group output alarms (diaout, mod_dia.F90:2311-3300;
+        # BGC groups via bgcmean, mo_bgcmean.F90:2232-2405)
+        from ..bgc import bgcmean as bgcm_mod
         groups = list(groups)
         for gi, (gc, period) in enumerate(zip(gcfgs, periods)):
             if done % period == 0 or done == nsteps:
                 path = os.path.join(
                     rundir, dia_mod.diafnm(cfg.runid, gc.fnametag,
                                            clock.time))
+                if isinstance(groups[gi], bgcm_mod.BgcmGroup):
+                    bgcm_mod.write_bgcm(path, model.grid, groups[gi],
+                                        clock.time)
+                    groups[gi] = bgcm_mod.reset_bgcm(groups[gi])
+                    continue
                 writer = (dia_mod.write_netcdf_compressed
                           if gc.compflag else dia_mod.write_netcdf)
                 writer(path, model.grid, groups[gi], clock.time)

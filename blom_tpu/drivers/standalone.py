@@ -142,11 +142,17 @@ def run(model: Model, nsteps: int, dia_group=None, cnsvdi: bool = False,
     with_dia = dia_group is not None
     extras_on = with_dia or cnsvdi or chk
 
+    from ..bgc.bgcmean import BgcmGroup
+    groups_list = (dia_group if isinstance(dia_group, (tuple, list))
+                   else ([dia_group] if with_dia else []))
+    with_bgcm = any(isinstance(g, BgcmGroup) for g in groups_list)
+
     two_step = make_two_step(model.grid, model.e, model.par,
                              model.coeffs_i, model.coeffs_j,
                              model.forcing, model.dfl, model.swabs,
                              model.bgc_forcing, with_dia=with_dia,
-                             cnsvdi=cnsvdi, chk=chk)
+                             cnsvdi=cnsvdi, chk=chk,
+                             with_bgcm=with_bgcm)
 
     @jax.jit
     def run_pairs(carry, delt1_pairs):
@@ -175,11 +181,12 @@ def run(model: Model, nsteps: int, dia_group=None, cnsvdi: bool = False,
         # odd tail: single step at the pair's first parity
         def tail(s, dfl, d):
             bout = [] if cnsvdi else None
+            bgcd = [] if with_bgcm else None
             s, dfl = blom_step(model.grid, model.e, model.par,
                                model.coeffs_i, model.coeffs_j,
                                s, model.forcing, dfl, 0, 1, d,
                                model.swabs, model.bgc_forcing,
-                               budget_out=bout)
+                               budget_out=bout, bgc_diag_out=bgcd)
             tys = {}
             if cnsvdi:
                 tys['budgets'] = jax.tree.map(
@@ -187,21 +194,27 @@ def run(model: Model, nsteps: int, dia_group=None, cnsvdi: bool = False,
             if chk:
                 from ..dynamics.chkvar import chkvar as _chkvar
                 tys['ok'] = _chkvar(model.grid, s, 1)[0]
-            return s, dfl, tys
+            return s, dfl, tys, (bgcd[0] if bgcd else {})
 
-        s, dfl, tys = jax.jit(tail)(s, dfl,
-                                    jnp.asarray(delt1s[-1], s.pb.dtype))
+        s, dfl, tys, tail_bgcd = jax.jit(tail)(
+            s, dfl, jnp.asarray(delt1s[-1], s.pb.dtype))
         if with_dia:
+            from ..bgc.bgcmean import acc_bgcm
             from ..io.dia import accumulate
 
-            def _acc1(g, s, d):
+            def _acc1(g, s, d, bgcd):
+                def one_g(gi):
+                    if isinstance(gi, BgcmGroup):
+                        return acc_bgcm(gi, model.grid, s, 1,
+                                        model.par.itrbgc, bgcd,
+                                        ti=model.par.bgc_ti)
+                    return accumulate(model.grid, gi, s, 1,
+                                      model.forcing, d)
                 if isinstance(g, (tuple, list)):
-                    return type(g)(accumulate(model.grid, gi, s, 1,
-                                              model.forcing, d)
-                                   for gi in g)
-                return accumulate(model.grid, g, s, 1, model.forcing, d)
+                    return type(g)(one_g(gi) for gi in g)
+                return one_g(g)
 
-            dia_group = jax.jit(_acc1)(dia_group, s, dfl)
+            dia_group = jax.jit(_acc1)(dia_group, s, dfl, tail_bgcd)
         if extras_on and tys:
             if ys is None:
                 ys = jax.tree.map(lambda x: x[None], tys)

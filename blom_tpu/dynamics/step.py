@@ -146,7 +146,8 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
               s: State, forcing: Forcing, dfl: DiffusionFields,
               m: int, n: int, delt1,
               swabs: Optional[SwabsFields] = None,
-              bgc_forcing=None, budget_out: Optional[list] = None):
+              bgc_forcing=None, budget_out: Optional[list] = None,
+              bgc_diag_out: Optional[list] = None):
     """Advance one baroclinic time step (mod_blom_step.F90:74-324).
 
     Returns (state, dfl): the diffusion/eddy-transport fields are
@@ -249,9 +250,13 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
         s = idlage_step(s, par.itriag, n, delt1, par.nday_in_year)
     if par.itrbgc >= 0 and bgc_forcing is not None:
         from ..bgc.step import hamocc_step
-        s, _ = hamocc_step(grid, e, par.bgc, s, bgc_forcing,
-                           par.itrbgc, n, m, delt1,
-                           ti=par.bgc_ti, cp=par.bgc_cp)
+        s, bgc_diags = hamocc_step(grid, e, par.bgc, s, bgc_forcing,
+                                   par.itrbgc, n, m, delt1,
+                                   ti=par.bgc_ti, cp=par.bgc_cp)
+        if bgc_diag_out is not None:
+            # per-step BGC diagnostics for bgcmean accumulation
+            # (accfields, mo_hamocc_step.F90:101)
+            bgc_diag_out.append(bgc_diags)
 
     if par.vcoord_isopyc:
         # bulk mixed layer (mxlayr, mod_blom_step.F90:191-193)
@@ -299,7 +304,7 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
                   swabs: Optional[SwabsFields] = None,
                   bgc_forcing=None,
                   with_dia: bool = False, cnsvdi: bool = False,
-                  chk: bool = False):
+                  chk: bool = False, with_bgcm: bool = False):
     """Return a scan body advancing two steps (both time-level
     parities).  First step of the pair uses (m, n) = (0, 1) — the parity
     of the very first model step (nstep_pre = 0).
@@ -314,9 +319,10 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
 
     def one(s, dfl_c, m, n, d):
         bout = [] if cnsvdi else None
+        bgcd = [] if with_bgcm else None
         s, dfl_c = blom_step(grid, e, par, coeffs_i, coeffs_j, s,
                              forcing, dfl_c, m, n, d, swabs, bgc_forcing,
-                             budget_out=bout)
+                             budget_out=bout, bgc_diag_out=bgcd)
         ys = {}
         if cnsvdi:
             import jax as _jax
@@ -324,7 +330,8 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
         if chk:
             from .chkvar import chkvar as _chkvar
             ys['ok'] = _chkvar(grid, s, n)[0]
-        return s, dfl_c, ys
+        bgc_diags = (bgcd[0] if bgcd else {}) if with_bgcm else None
+        return s, dfl_c, ys, bgc_diags
 
     extras = with_dia or cnsvdi or chk
 
@@ -335,20 +342,26 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
             s, dfl_c = carry
             group = None
         d1, d2 = delt1_pair
-        def acc(group, s, lev, dfl_c):
+        def acc(group, s, lev, dfl_c, bgc_diags):
             from ..io.dia import accumulate
-            if isinstance(group, (tuple, list)):
-                return type(group)(
-                    accumulate(grid, g, s, lev, forcing, dfl_c)
-                    for g in group)
-            return accumulate(grid, group, s, lev, forcing, dfl_c)
 
-        s, dfl_c, ys1 = one(s, dfl_c, 0, 1, d1)
+            def acc1(g):
+                from ..bgc.bgcmean import BgcmGroup, acc_bgcm
+                if isinstance(g, BgcmGroup):
+                    return acc_bgcm(g, grid, s, lev, par.itrbgc,
+                                    bgc_diags or {}, ti=par.bgc_ti)
+                return accumulate(grid, g, s, lev, forcing, dfl_c)
+
+            if isinstance(group, (tuple, list)):
+                return type(group)(acc1(g) for g in group)
+            return acc1(group)
+
+        s, dfl_c, ys1, bgcd1 = one(s, dfl_c, 0, 1, d1)
         if with_dia:
-            group = acc(group, s, 1, dfl_c)
-        s, dfl_c, ys2 = one(s, dfl_c, 1, 0, d2)
+            group = acc(group, s, 1, dfl_c, bgcd1)
+        s, dfl_c, ys2, bgcd2 = one(s, dfl_c, 1, 0, d2)
         if with_dia:
-            group = acc(group, s, 0, dfl_c)
+            group = acc(group, s, 0, dfl_c, bgcd2)
         carry = (s, dfl_c, group) if with_dia else (s, dfl_c)
         if not extras:
             return carry, None
