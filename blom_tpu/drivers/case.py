@@ -61,6 +61,17 @@ def build_case(limits_path: str = None, cfg: RunConfig = None):
         advmth=cfg.advmth,
         cppm_compatibility=cfg.cppm_compatibility,
         cppm_limiting=cfg.cppm_limiting)
+    if model.par.ale is not None:
+        # &ALE_REGRID_REMAP reconstruction options
+        # (mod_ale_regrid_remap.F90:62-81)
+        model.par = model.par._replace(ale=model.par.ale._replace(
+            reconstruction_method=cfg.ale.reconstruction_method,
+            upper_bndr_ord=cfg.ale.upper_bndr_ord,
+            lower_bndr_ord=cfg.ale.lower_bndr_ord,
+            tracer_limiting=cfg.ale.tracer_limiting,
+            velocity_limiting=cfg.ale.velocity_limiting,
+            tracer_pc_upper=cfg.ale.tracer_pc_upper_bndr,
+            velocity_pc_upper=cfg.ale.velocity_pc_upper_bndr))
     return model, cfg
 
 

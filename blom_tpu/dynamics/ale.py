@@ -47,6 +47,12 @@ class AleParams(NamedTuple):
     velocity_limiting: str = h3.NON_OSCILLATORY
     tracer_pc_upper: bool = True
     velocity_pc_upper: bool = True
+    # 'ppm' (explicit edges) | 'ppm_ih4' (implicit 4th-order edges) |
+    # 'pqm' (implicit 6th/5th-order quartic) — the RECONSTRUCTION_METHOD
+    # + bndr_ord namelist options (mod_ale_regrid_remap.F90:62-81)
+    reconstruction_method: str = 'ppm'
+    upper_bndr_ord: int = 6
+    lower_bndr_ord: int = 4
 
 
 def make_ale_params(kk: int, dpmin_surface_m: float = 1.5,
@@ -55,7 +61,8 @@ def make_ale_params(kk: int, dpmin_surface_m: float = 1.5,
                     regrid_nudge_ts: float = 86400.,
                     stab_fac_limit: float = .75,
                     smooth_diff_max: float = 50000.,
-                    k_range_plevel: int = 4) -> AleParams:
+                    k_range_plevel: int = 4,
+                    reconstruction_method: str = 'ppm') -> AleParams:
     """Defaults matching the fuk95 deck (tests/fuk95/limits:231-249) and
     vcoord defaults (mod_vcoord.F90:87-88, plevel 'inflation' spec
     :948-955: plevel(1)=0, plevel(k+1)=plevel(k)+dpmin, dpmin*=factor)."""
@@ -69,7 +76,26 @@ def make_ale_params(kk: int, dpmin_surface_m: float = 1.5,
                      regrid_nudge_ts=regrid_nudge_ts,
                      stab_fac_limit=stab_fac_limit,
                      smooth_diff_max=smooth_diff_max,
-                     k_range_plevel=k_range_plevel)
+                     k_range_plevel=k_range_plevel,
+                     reconstruction_method=reconstruction_method)
+
+
+def _recon(ale: AleParams, p, tm, limiting, pc_upper=False,
+           pc_lower=False):
+    """Reconstruction dispatch (RECONSTRUCTION_METHOD,
+    mod_ale_regrid_remap.F90:62-81): explicit-edge PPM, implicit-edge
+    ih4 PPM, or PQM with ih6/ih5 implicit edges+slopes."""
+    m = ale.reconstruction_method
+    if m == 'pqm':
+        return h3.pqm_reconstruct(p, tm, limiting, pc_upper, pc_lower,
+                                  lb_ord=ale.upper_bndr_ord,
+                                  rb_ord=ale.lower_bndr_ord)
+    if m == 'ppm_ih4':
+        return h3.ppm_ih4_reconstruct(p, tm, limiting, pc_upper,
+                                      pc_lower,
+                                      lb_ord=min(ale.upper_bndr_ord, 4),
+                                      rb_ord=min(ale.lower_bndr_ord, 4))
+    return h3.ppm_reconstruct(p, tm, limiting, pc_upper, pc_lower)
 
 
 def _sigma_at(p_src, sig_up, sig_lo, pq):
@@ -286,9 +312,9 @@ def ale_regrid_remap(grid: Grid, e: eos.EosParams, ale: AleParams,
     p_bot = p_src[kk]
 
     # 1. reconstruct tracers
-    rc_t = h3.ppm_reconstruct(p_src, s.temp[n], ale.tracer_limiting,
+    rc_t = _recon(ale, p_src, s.temp[n], ale.tracer_limiting,
                               pc_upper=ale.tracer_pc_upper)
-    rc_s = h3.ppm_reconstruct(p_src, s.saln[n], ale.tracer_limiting,
+    rc_s = _recon(ale, p_src, s.saln[n], ale.tracer_limiting,
                               pc_upper=ale.tracer_pc_upper)
 
     # 2. regrid
@@ -309,7 +335,7 @@ def ale_regrid_remap(grid: Grid, e: eos.EosParams, ale: AleParams,
     if ntr:
         trc_news = []
         for nt in range(ntr):
-            rc_c = h3.ppm_reconstruct(p_src, s.trc[n, nt],
+            rc_c = _recon(ale, p_src, s.trc[n, nt],
                                       ale.tracer_limiting,
                                       pc_upper=ale.tracer_pc_upper)
             trc_news.append(h3.remap_means(rc_c, p_dst) * ip)
@@ -336,14 +362,14 @@ def ale_regrid_remap(grid: Grid, e: eos.EosParams, ale: AleParams,
     qu = jnp.minimum(im1(p_bot), p_bot) \
         / jnp.maximum(pu_old[kk], epsilp)
     p_src_u = pu_old * qu
-    rc_u = h3.ppm_reconstruct(p_src_u, s.u[n], ale.velocity_limiting,
+    rc_u = _recon(ale, p_src_u, s.u[n], ale.velocity_limiting,
                               pc_upper=ale.velocity_pc_upper)
     u_new = h3.remap_means(rc_u, pu_new) * iu
 
     qv = jnp.minimum(jm1(p_bot), p_bot) \
         / jnp.maximum(pv_old[kk], epsilp)
     p_src_v = pv_old * qv
-    rc_v = h3.ppm_reconstruct(p_src_v, s.v[n], ale.velocity_limiting,
+    rc_v = _recon(ale, p_src_v, s.v[n], ale.velocity_limiting,
                               pc_upper=ale.velocity_pc_upper)
     v_new = h3.remap_means(rc_v, pv_new) * iv
 

@@ -36,11 +36,14 @@ NON_OSCILLATORY_POSDEF = 'non_oscillatory_posdef'
 
 
 class Recon(NamedTuple):
-    """Piecewise-parabolic reconstruction on a source grid."""
+    """Piecewise-polynomial reconstruction on a source grid: parabolic
+    (c3 = c4 = None) or quartic (PQM)."""
     p: jnp.ndarray      # (kk+1, ...) source interface positions
     c0: jnp.ndarray     # (kk, ...) polynomial coefficients
     c1: jnp.ndarray
     c2: jnp.ndarray
+    c3: jnp.ndarray = None
+    c4: jnp.ndarray = None
 
     def eval0(self):
         """Upper-interface values (peval0)."""
@@ -48,7 +51,10 @@ class Recon(NamedTuple):
 
     def eval1(self):
         """Lower-interface values (peval1)."""
-        return self.c0 + self.c1 + self.c2
+        v = self.c0 + self.c1 + self.c2
+        if self.c3 is not None:
+            v = v + self.c3 + self.c4
+        return v
 
     def deval0(self):
         """d/dx at the upper interface (dpeval0)."""
@@ -56,7 +62,10 @@ class Recon(NamedTuple):
 
     def deval1(self):
         """d/dx at the lower interface (dpeval1)."""
-        return self.c1 + 2. * self.c2
+        v = self.c1 + 2. * self.c2
+        if self.c3 is not None:
+            v = v + 3. * self.c3 + 4. * self.c4
+        return v
 
 
 def _edge4(dx, tm):
@@ -246,16 +255,23 @@ def integrate_to(rc: Recon, pq):
     dx = jnp.maximum(rc.p[1:] - rc.p[:-1], 0.)            # (kk, ...)
     dxi = 1.0 / jnp.maximum(dx, heps)
 
+    c3 = jnp.zeros_like(rc.c2) if rc.c3 is None else rc.c3
+    c4 = jnp.zeros_like(rc.c2) if rc.c4 is None else rc.c4
+
     def body(acc, xs):
-        p_up, dxk, dxik, c0, c1, c2 = xs
+        p_up, dxk, dxik, c0, c1, c2, c3k, c4k = xs
         x = jnp.clip((pq - p_up[None]) * dxik[None], 0., 1.)
-        acc = acc + dxk[None] * (c0[None] * x + .5 * c1[None] * x * x
-                                 + (1. / 3.) * c2[None] * x * x * x)
+        x2 = x * x
+        acc = acc + dxk[None] * (c0[None] * x + .5 * c1[None] * x2
+                                 + (1. / 3.) * c2[None] * x2 * x
+                                 + .25 * c3k[None] * x2 * x2
+                                 + .2 * c4k[None] * x2 * x2 * x)
         return acc, None
 
     acc0 = jnp.zeros(pq.shape, pq.dtype)
     acc, _ = jax.lax.scan(body, acc0,
-                          (rc.p[:-1], dx, dxi, rc.c0, rc.c1, rc.c2),
+                          (rc.p[:-1], dx, dxi, rc.c0, rc.c1, rc.c2,
+                           c3, c4),
                           unroll=8)
     return acc
 
@@ -271,16 +287,23 @@ def remap_means(rc: Recon, p_dst):
     dxi = 1.0 / jnp.maximum(dx, heps)
     pq = p_dst
 
+    c3 = jnp.zeros_like(rc.c2) if rc.c3 is None else rc.c3
+    c4 = jnp.zeros_like(rc.c2) if rc.c4 is None else rc.c4
+
     def body(carry, xs):
         acc, point, found = carry
-        p_up, dxk, dxik, c0, c1, c2 = xs
+        p_up, dxk, dxik, c0, c1, c2, c3k, c4k = xs
         x = jnp.clip((pq - p_up[None]) * dxik[None], 0., 1.)
-        acc = acc + dxk[None] * (c0[None] * x + .5 * c1[None] * x * x
-                                 + (1. / 3.) * c2[None] * x * x * x)
+        x2 = x * x
+        acc = acc + dxk[None] * (c0[None] * x + .5 * c1[None] * x2
+                                 + (1. / 3.) * c2[None] * x2 * x
+                                 + .25 * c3k[None] * x2 * x2
+                                 + .2 * c4k[None] * x2 * x2 * x)
         # point value at pq where it falls inside this (nonempty) layer
         inl = (pq >= p_up[None]) & (pq <= (p_up + dxk)[None]) \
             & (dxk[None] > heps) & (~found)
-        fval = c0[None] + c1[None] * x + c2[None] * x * x
+        fval = (c0[None] + c1[None] * x + c2[None] * x2
+                + c3k[None] * x2 * x + c4k[None] * x2 * x2)
         point = jnp.where(inl, fval, point)
         found = found | inl
         return (acc, point, found), None
@@ -288,9 +311,575 @@ def remap_means(rc: Recon, p_dst):
     acc0 = jnp.zeros(pq.shape, pq.dtype)
     (I, point, found), _ = jax.lax.scan(
         body, (acc0, acc0, jnp.zeros(pq.shape, bool)),
-        (rc.p[:-1], dx, dxi, rc.c0, rc.c1, rc.c2), unroll=8)
+        (rc.p[:-1], dx, dxi, rc.c0, rc.c1, rc.c2, c3, c4), unroll=8)
 
     dpd = p_dst[1:] - p_dst[:-1]
     means = (I[1:] - I[:-1]) / jnp.maximum(dpd, heps)
     point_l = jnp.where(found[:-1], point[:-1], means)
     return jnp.where(dpd > heps, means, point_l)
+
+
+# ------------------------------------------------------------------ #
+# implicit high-order edge estimation (ih4 / ih6+ih5) and PQM
+# (mod_hor3map.F90:631-1039 coefficient setup,
+#  :1707-1870 tridiagonal reconstructions, :2119-2337 PQM limiting)
+# ------------------------------------------------------------------ #
+
+def _tridiag_dirichlet(tde1, tde2, rhs, e_first, e_last):
+    """Solve the edge tridiagonal with unit diagonal and Dirichlet
+    boundary edges (the Thomas recursion of
+    reconstruct_ppm_edge_values, mod_hor3map.F90:1744-1755).
+
+    tde1/tde2/rhs: (kk+1, ...) rows for interior edges 1..kk-1 (rows 0
+    and kk are ignored); e_first/e_last: boundary edge values.
+    Returns edges (kk+1, ...)."""
+    import jax
+
+    kk1 = rhs.shape[0]
+
+    def fwd(carry, xs):
+        e_prev, gam_prev = carry
+        t1, t2, r = xs
+        bei = 1.0 / (1.0 - t1 * gam_prev)
+        e = (r - t1 * e_prev) * bei
+        gam = t2 * bei
+        return (e, gam), (e, gam)
+
+    (_, _), (e_f, gam) = jax.lax.scan(
+        fwd, (e_first, jnp.zeros_like(e_first)),
+        (tde1[1:-1], tde2[1:-1], rhs[1:-1]), unroll=8)
+
+    def bwd(e_next, xs):
+        e, g = xs
+        e2 = e - g * e_next
+        return e2, e2
+
+    _, e_b = jax.lax.scan(bwd, e_last, (e_f, gam), reverse=True,
+                          unroll=8)
+    return jnp.concatenate([e_first[None], e_b, e_last[None]], axis=0)
+
+
+def _ih4_coeffs(h):
+    """Row coefficients for the ih4 edge tridiagonal at interior edges
+    (edge_ih4_coeff, mod_hor3map.F90:631-649).  h: (kk, ...); returns
+    (tde1, tde2, rhs3, rhs4) at edges (kk+1, ...) (rows 0/kk unused)."""
+    h1 = jnp.concatenate([h[:1], h], axis=0)     # cell above edge
+    h2 = jnp.concatenate([h, h[-1:]], axis=0)    # cell below edge
+    q = 1.0 / (h1 + h2)
+    t1 = h2 * h2 * q * q
+    t2 = h1 * h1 * q * q
+    t3 = 2. * t1 * (h2 + 2. * h1) * q
+    t4 = 2. * t2 * (h1 + 2. * h2) * q
+    return t1, t2, t3, t4
+
+
+def _boundary_poly(h, tm, ord_: int, side: str):
+    """Boundary edge + slope from an ord_-cell polynomial fit
+    (edge_slope_lblu/rblu, mod_hor3map.F90:913-1039): solve the moment
+    system A c = u for the polynomial in the basis phi_p = xi^p / p!
+    measured from the boundary edge; c[0] is the edge value, c[1] the
+    slope."""
+    kk = tm.shape[0]
+    n = ord_
+    if side == 'left':
+        hs = [h[i] for i in range(n)]
+        us = [tm[i] for i in range(n)]
+        centers = []
+        c = .5 * hs[0]
+        centers.append(c)
+        for i in range(1, n):
+            c = c + .5 * (hs[i - 1] + hs[i])
+            centers.append(c)
+    else:
+        hs = [h[kk - n + i] for i in range(n)]
+        us = [tm[kk - n + i] for i in range(n)]
+        centers = []
+        c = -.5 * hs[-1]
+        centers = [None] * n
+        centers[n - 1] = c
+        for i in range(n - 2, -1, -1):
+            c = c - .5 * (hs[i + 1] + hs[i])
+            centers[i] = c
+
+    rows = []
+    for i in range(n):
+        a2 = centers[i]
+        hh = hs[i]
+        a2sq = a2 * a2
+        hsq = hh * hh
+        row = [jnp.ones_like(a2), a2]
+        if n > 2:
+            row.append(.5 * (a2sq + hsq / 12.))
+        if n > 3:
+            row.append((1. / 6.) * a2 * (a2sq + .25 * hsq))
+        if n > 4:
+            row.append((1. / 24.) * (a2sq * (a2sq + .5 * hsq)
+                                     + hsq * hsq / 80.))
+        if n > 5:
+            row.append((1. / 120.) * a2 * (a2sq + .75 * hsq)
+                       * (a2sq + hsq / 12.))
+        rows.append(row)
+
+    A = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+    u = jnp.stack(us, axis=-1)[..., None]
+    c = jnp.linalg.solve(A, u)[..., 0]
+    return c[..., 0], c[..., 1]
+
+
+def edges_ih4(p, tm, lb_ord: int = 4, rb_ord: int = 4):
+    """Implicit 4th-order edge estimation (prepare_ppm +
+    reconstruct_ppm_edge_values, mod_hor3map.F90:1308-1497,1707-1763):
+    a tridiagonal solve along the column, vectorized over all columns.
+
+    p: (kk+1, ...), tm: (kk, ...).  Returns edges (kk+1, ...)."""
+    dx = jnp.maximum(p[1:] - p[:-1], 0.) + heps
+    t1, t2, t3, t4 = _ih4_coeffs(dx)
+    tm_up = jnp.concatenate([tm[:1], tm], axis=0)
+    tm_lo = jnp.concatenate([tm, tm[-1:]], axis=0)
+    rhs = t3 * tm_up + t4 * tm_lo
+    e0, _ = _boundary_poly(dx, tm, lb_ord, 'left')
+    e1, _ = _boundary_poly(dx, tm, rb_ord, 'right')
+    return _tridiag_dirichlet(t1, t2, rhs, e0, e1)
+
+
+def _ih6_matrices(dx):
+    """Per-edge 6x6 moment matrices for the symmetric ih6/ih5 stencil
+    (edge_ih6_slope_ih5_coeff_sym, mod_hor3map.F90:782-845), batched
+    over edges and columns.  dx: (kk, ...); valid for interior edges
+    2..kk-2 (others fall back to ih4)."""
+    def at(off):
+        idx = jnp.clip(jnp.arange(dx.shape[0] + 1) + off, 0,
+                       dx.shape[0] - 1)
+        return dx[idx]
+
+    h1, h2, h3, h4 = at(-2), at(-1), at(0), at(1)
+    one = jnp.ones_like(h1)
+    zer = jnp.zeros_like(h1)
+
+    def stack_col(rows):
+        return jnp.stack(rows, axis=-1)
+
+    # column 1: -E(j-1) coefficient moments; column 2: E(j+1) ...
+    c11 = [one, -h2, h2 * h2, -h2 ** 3, h2 ** 4, -h2 ** 5]
+    c22 = [one, h3, h3 * h3, h3 ** 3, h3 ** 4, h3 ** 5]
+
+    a23 = .5 * h1 + h2
+    a23sq = a23 * a23
+    h1sq = h1 * h1
+    col3 = [-one, a23, -a23sq - h1sq / 12.,
+            a23 * (a23sq + .25 * h1sq),
+            -a23sq * (a23sq + .5 * h1sq) - h1sq * h1sq / 80.,
+            a23 * (a23sq + .75 * h1sq) * (a23sq + h1sq / 12.)]
+    col4 = [-one, .5 * h2, -h2 * h2 / 3., .25 * h2 ** 3,
+            -h2 ** 4 / 5., h2 ** 5 / 6.]
+    col5 = [-one, -.5 * h3, -h3 * h3 / 3., -.25 * h3 ** 3,
+            -h3 ** 4 / 5., -h3 ** 5 / 6.]
+    a26 = -h3 - .5 * h4
+    a26sq = a26 * a26
+    h4sq = h4 * h4
+    col6 = [-one, a26, -a26sq - h4sq / 12.,
+            a26 * (a26sq + .25 * h4sq),
+            -a26sq * (a26sq + .5 * h4sq) - h4sq * h4sq / 80.,
+            a26 * (a26sq + .75 * h4sq) * (a26sq + h4sq / 12.)]
+
+    A = jnp.stack([stack_col(c11), stack_col(c22), stack_col(col3),
+                   stack_col(col4), stack_col(col5), stack_col(col6)],
+                  axis=-1)
+    return A
+
+
+def _moment_col_cell(c, h):
+    """Negated mean moments -E[x^p] (p = 0..5) of the Taylor monomials
+    over a cell of width h centered at signed position c relative to
+    the edge — the cell columns of the ih6 moment matrices
+    (edge_ih6_slope_ih5_coeff_*, mod_hor3map.F90:716-911)."""
+    one = jnp.ones_like(c)
+    csq = c * c
+    hsq = h * h
+    return [-one,
+            -c,
+            -(csq + hsq / 12.),
+            -(c * (csq + .25 * hsq)),
+            -(csq * (csq + .5 * hsq) + hsq * hsq / 80.),
+            -(c * (csq + .75 * hsq) * (csq + hsq / 12.))]
+
+
+def _ih6_matrices_asym(dx, side: str):
+    """6x6 moment matrices for the asymmetric near-boundary stencils
+    (edge_ih6_slope_ih5_coeff_asymleft/-right,
+    mod_hor3map.F90:716-780,847-911), evaluated at every edge (only the
+    near-boundary rows are consumed)."""
+    def at(off):
+        idx = jnp.clip(jnp.arange(dx.shape[0] + 1) + off, 0,
+                       dx.shape[0] - 1)
+        return dx[idx]
+
+    one_like = jnp.ones_like(at(0))
+
+    def powers(x):
+        return [one_like, x, x * x, x ** 3, x ** 4, x ** 5]
+
+    if side == 'left':
+        h1, h2, h3, h4 = at(-1), at(0), at(1), at(2)
+        col1 = powers(-h1)                      # E at the edge above
+        col2 = powers(h2)                       # E at the edge below
+        col3 = _moment_col_cell(-.5 * h1, h1)            # cell e-1
+        col4 = _moment_col_cell(.5 * h2, h2)             # cell e
+        col5 = _moment_col_cell(h2 + .5 * h3, h3)        # cell e+1
+        col6 = _moment_col_cell(h2 + h3 + .5 * h4, h4)   # cell e+2
+    else:
+        h1, h2, h3, h4 = at(-3), at(-2), at(-1), at(0)
+        col1 = powers(-h3)
+        col2 = powers(h4)
+        col3 = _moment_col_cell(-(.5 * h1 + h2 + h3), h1)
+        col4 = _moment_col_cell(-(.5 * h2 + h3), h2)
+        col5 = _moment_col_cell(-.5 * h3, h3)
+        col6 = _moment_col_cell(.5 * h4, h4)
+
+    def stack_col(rows):
+        return jnp.stack(rows, axis=-1)
+
+    return jnp.stack([stack_col(col1), stack_col(col2), stack_col(col3),
+                      stack_col(col4), stack_col(col5), stack_col(col6)],
+                     axis=-1)
+
+
+def edges_slopes_ih6(p, tm, lb_ord: int = 6, rb_ord: int = 4):
+    """Implicit 6th/5th-order edge + slope estimation
+    (reconstruct_pqm_edge_slope_values, mod_hor3map.F90:1765-1870):
+    per-edge 6x6 solves give the tridiagonal row coefficients (ih4/ih3
+    fallback where not diagonally dominant, prepare_pqm:1246-1266),
+    then two Thomas solves along the column.
+
+    Returns (edges, slopes): (kk+1, ...) each; slopes are per unit
+    position."""
+    kk = tm.shape[0]
+    dx = jnp.maximum(p[1:] - p[:-1], 0.) + heps
+
+    def solve_coeffs(A):
+        rhs_e = jnp.zeros(A.shape[:-1], A.dtype).at[..., 0].set(-1.)
+        ce = jnp.linalg.solve(A, rhs_e[..., None])[..., 0]
+        # slope system matrix B (edge_ih6_slope_ih5_coeff_common,
+        # mod_hor3map.F90:672-712)
+        B = jnp.zeros_like(A)
+        B = B.at[..., 0:5, 2:6].set(A[..., 1:6, 2:6])
+        mult = jnp.asarray([1., 2., 3., 4., 5.], A.dtype)
+        B = B.at[..., 0:5, 0].set(
+            A[..., 0:5, 0] * mult.reshape((1,) * (A.ndim - 2) + (5,)))
+        B = B.at[..., 0:5, 1].set(
+            A[..., 0:5, 1] * mult.reshape((1,) * (A.ndim - 2) + (5,)))
+        B = B.at[..., 5, 0].set(0.).at[..., 5, 1].set(0.)
+        B = B.at[..., 5, 2:6].set(1.)
+        cs = jnp.linalg.solve(B, rhs_e[..., None])[..., 0]
+        return ce, cs
+
+    ce, cs = solve_coeffs(_ih6_matrices(dx))
+    ce_l, cs_l = solve_coeffs(_ih6_matrices_asym(dx, 'left'))
+    ce_r, cs_r = solve_coeffs(_ih6_matrices_asym(dx, 'right'))
+
+    def cellv(off):
+        idx = jnp.clip(jnp.arange(kk + 1) + off, 0, kk - 1)
+        return tm[idx]
+
+    u_m4 = cellv(-4)
+    u_m3 = cellv(-3)
+    u_m2, u_m1, u_0, u_p1 = cellv(-2), cellv(-1), cellv(0), cellv(1)
+    u_p2 = cellv(2)
+
+    def rhs_of(c, us):
+        return (c[..., 2] * us[0] + c[..., 3] * us[1]
+                + c[..., 4] * us[2] + c[..., 5] * us[3])
+
+    kidx = jnp.arange(kk + 1).reshape((kk + 1,) + (1,) * (tm.ndim - 1))
+    at_l = kidx == 1
+    at_r = kidx == kk - 1
+
+    def sel(sym, lft, rgt):
+        return jnp.where(at_l, lft, jnp.where(at_r, rgt, sym))
+
+    te1 = sel(ce[..., 0], ce_l[..., 0], ce_r[..., 0])
+    te2 = sel(ce[..., 1], ce_l[..., 1], ce_r[..., 1])
+    ts1 = sel(cs[..., 0], cs_l[..., 0], cs_r[..., 0])
+    ts2 = sel(cs[..., 1], cs_l[..., 1], cs_r[..., 1])
+    rhs_e6 = sel(rhs_of(ce, (u_m2, u_m1, u_0, u_p1)),
+                 rhs_of(ce_l, (u_m1, u_0, u_p1, u_p2)),
+                 rhs_of(ce_r, (u_m3, u_m2, u_m1, u_0)))
+    rhs_s6 = sel(rhs_of(cs, (u_m2, u_m1, u_0, u_p1)),
+                 rhs_of(cs_l, (u_m1, u_0, u_p1, u_p2)),
+                 rhs_of(cs_r, (u_m3, u_m2, u_m1, u_0)))
+
+    # ih4/ih3 fallback where the ih6/ih5 rows are not diagonally
+    # dominant, and at the near-boundary edges (prepare_pqm:1246-1296)
+    f1, f2, f3, f4 = _ih4_coeffs(dx)
+    rhs_e4 = f3 * u_m1 + f4 * u_0
+    # ih3 slopes (slope_ih3_coeff, mod_hor3map.F90:651-670)
+    h1 = jnp.concatenate([dx[:1], dx], axis=0)
+    h2 = jnp.concatenate([dx, dx[-1:]], axis=0)
+    h11, h22, h12 = h1 * h1, h2 * h2, h1 * h2
+    qs = 1.0 / ((h1 + h2) * (h11 + 3. * h12 + h22))
+    s1 = h2 * (h11 + h2 * (h1 - h2)) * qs
+    s2 = h1 * (h22 + h1 * (h2 - h1)) * qs
+    s3 = -12. * h12 * qs
+    rhs_s3 = s3 * u_m1 - s3 * u_0
+
+    interior6 = (kidx >= 1) & (kidx <= kk - 1) & (kk > 4)
+    bad = (jnp.abs(te1) + jnp.abs(te2) > 1.) \
+        | (jnp.abs(ts1) + jnp.abs(ts2) > 1.) | ~interior6
+    te1 = jnp.where(bad, f1, te1)
+    te2 = jnp.where(bad, f2, te2)
+    rhs_e6 = jnp.where(bad, rhs_e4, rhs_e6)
+    ts1 = jnp.where(bad, s1, ts1)
+    ts2 = jnp.where(bad, s2, ts2)
+    rhs_s6 = jnp.where(bad, rhs_s3, rhs_s6)
+
+    lb = max(2, min(lb_ord, kk))
+    rb = max(2, min(rb_ord, kk))
+    e0, sl0 = _boundary_poly(dx, tm, lb, 'left')
+    e1, sl1 = _boundary_poly(dx, tm, rb, 'right')
+
+    edges = _tridiag_dirichlet(te1, te2, rhs_e6, e0, e1)
+    slopes = _tridiag_dirichlet(ts1, ts2, rhs_s6, sl0, sl1)
+    return edges, slopes
+
+
+def ppm_ih4_reconstruct(p, tm, limiting=NON_OSCILLATORY,
+                        pc_upper=False, pc_lower=False,
+                        lb_ord: int = 4, rb_ord: int = 4) -> Recon:
+    """PPM with implicit 4th-order edges (the reference's default
+    hor3map PPM path, prepare_ppm + reconstruct_ppm_edge_values)."""
+    kk = tm.shape[0]
+    dx = jnp.maximum(p[1:] - p[:-1], 0.) + heps
+    e = edges_ih4(p, tm, lb_ord, rb_ord)
+    tel, ter = e[:-1], e[1:]
+
+    if limiting == MONOTONIC:
+        tel, ter = _limit_mono(tm, tel, ter)
+    elif limiting in (NON_OSCILLATORY, NON_OSCILLATORY_POSDEF):
+        tel, ter = _limit_nosc(tm, tel, ter)
+        if limiting == NON_OSCILLATORY_POSDEF:
+            tel = jnp.maximum(tel, 0.)
+            ter = jnp.maximum(ter, 0.)
+
+    kidx = jnp.arange(kk).reshape((kk,) + (1,) * (tm.ndim - 1))
+    pc_mask = jnp.zeros_like(tm, dtype=bool)
+    if pc_upper:
+        pc_mask = pc_mask | (kidx == 0)
+    if pc_lower:
+        pc_mask = pc_mask | (kidx == kk - 1)
+    pc_mask = pc_mask | (dx <= 2. * heps)
+    tel = jnp.where(pc_mask, tm, tel)
+    ter = jnp.where(pc_mask, tm, ter)
+
+    return Recon(p=p, c0=tel, c1=6. * tm - 4. * tel - 2. * ter,
+                 c2=3. * (tel - 2. * tm + ter))
+
+
+def _limit_pqm_monotonic(tm, dx, uel, uer, usl, usr):
+    """Monotonic PQM limiting (limit_pqm_monotonic,
+    mod_hor3map.F90:2119-2337), dense over columns.  usl/usr are
+    xi-slopes (already scaled by cell width)."""
+    kk = tm.shape[0]
+    tm_m = jnp.concatenate([tm[:1], tm[:-1]], axis=0)
+    tm_p = jnp.concatenate([tm[1:], tm[-1:]], axis=0)
+    dx_m = jnp.concatenate([dx[:1], dx[:-1]], axis=0)
+    dx_p = jnp.concatenate([dx[1:], dx[-1:]], axis=0)
+
+    hi = 1.0 / dx
+    hci = 2.0 / (dx_m + 2. * dx + dx_p)
+    sl = 2. * (tm - tm_m) * hi
+    sr = 2. * (tm_p - tm) * hi
+    sc0 = (tm_p - tm_m) * hci
+    sc = jnp.sign(sc0) * jnp.minimum(
+        jnp.minimum(jnp.abs(sl), jnp.abs(sr)), jnp.abs(sc0))
+    has = sl * sr > 0.
+
+    uel2 = jnp.where((tm_m - uel) * (tm - uel) > 0.,
+                     tm - jnp.sign(sc) * jnp.minimum(
+                         .5 * dx * jnp.abs(sc), jnp.abs(uel - tm)), uel)
+    uer2 = jnp.where((tm_p - uer) * (tm - uer) > 0.,
+                     tm + jnp.sign(sc) * jnp.minimum(
+                         .5 * dx * jnp.abs(sc), jnp.abs(uer - tm)), uer)
+    usl2 = jnp.where(usl * sc < 0., 0., usl)
+    usr2 = jnp.where(usr * sc < 0., 0., usr)
+
+    uel = jnp.where(has, uel2, tm)
+    uer = jnp.where(has, uer2, tm)
+    usl = jnp.where(has, usl2, 0.)
+    usr = jnp.where(has, usr2, 0.)
+
+    # inconsistent-edge fix between neighbours (:2162-2168)
+    uer_m = jnp.concatenate([uer[:1], uer[:-1]], axis=0)
+    fixe = (uel - uer_m) * (tm - tm_m) < 0.
+    mid = .5 * (uer_m + uel)
+    uel = jnp.where(fixe, mid, uel)
+    # propagate to the neighbour's right edge
+    fixe_p = jnp.concatenate([fixe[1:], jnp.zeros_like(fixe[-1:])],
+                             axis=0)
+    uel_p = jnp.concatenate([uel[1:], uel[-1:]], axis=0)
+    uer = jnp.where(fixe_p, uel_p, uer)
+
+    # inconsistent inflexion points (:2172-2264): derivative
+    # coefficients of the quartic
+    a0 = usl
+    a1 = 2. * (30. * tm - 18. * uel - 12. * uer - 4.5 * usl + 1.5 * usr)
+    a2 = 3. * (-60. * tm + 32. * uel + 28. * uer + 6. * usl - 4. * usr)
+    a3 = 4. * (30. * tm - 15. * (uel + uer) - 2.5 * (usl - usr))
+    b0, b1, b2 = a1, 2. * a2, 3. * a3
+
+    ueps = 1e-14
+    q1 = b0 * b2
+    q2 = b1 * b1 - 4. * q1
+
+    def dq(xi):
+        return a0 + xi * (a1 + xi * (a2 + xi * a3))
+
+    s = jnp.sqrt(jnp.maximum(q2, 0.))
+    q3 = .5 / jnp.where(jnp.abs(b2) < ueps, 1., b2)
+    xi_a = -(b1 + s) * q3
+    xi_b = -(b1 - s) * q3
+    xi_lin = -b0 / jnp.where(jnp.abs(b1) < ueps, 1., b1)
+
+    one_inflex = b0 * (b0 + b1 + b2) < 0.
+    lin_case = jnp.abs(b2) < ueps
+    xi1 = jnp.where((xi_a > 0.) & (xi_a < 1.), xi_a, xi_b)
+    bad_one = jnp.where(
+        lin_case,
+        (jnp.abs(b1) > ueps) & (dq(xi_lin) * sc < 0.),
+        dq(xi1) * sc < 0.)
+    bad_two = (dq(xi_a) * sc < 0.) | (dq(xi_b) * sc < 0.)
+    incon = (q2 > 0.) & jnp.where(one_inflex, bad_one,
+                                  (q1 > ueps) & bad_two)
+
+    # left-leaning fix (limit_pqm_monotonic :2230-2246): cascade
+    # usl -> (zero-slope / usr fix / uel fix)
+    l_usl1 = (10. / 3.) * tm - (8. / 3.) * uel - (2. / 3.) * uer
+    l_bad1 = l_usl1 * sc < 0.
+    l_usr2 = 4. * uel + 6. * uer - 10. * tm
+    l_bad2 = l_usr2 * sc < 0.
+    usl_L = jnp.where(l_bad1, 0.,
+                      jnp.where(l_bad2, (10. / 3.) * (uer - tm), l_usl1))
+    usr_L = jnp.where(l_bad1, 20. * (tm - uel),
+                      jnp.where(l_bad2, 0., l_usr2))
+    uel_L = jnp.where(l_bad1, uel,
+                      jnp.where(l_bad2, 2.5 * tm - 1.5 * uer, uel))
+    uer_L = jnp.where(l_bad1, 5. * tm - 4. * uel, uer)
+
+    # right-leaning fix (:2247-2263)
+    r_usr1 = (8. / 3.) * uer + (2. / 3.) * uel - (10. / 3.) * tm
+    r_bad1 = r_usr1 * sc < 0.
+    r_usl2 = 10. * tm - 4. * uer - 6. * uel
+    r_bad2 = r_usl2 * sc < 0.
+    usr_R = jnp.where(r_bad1, 0.,
+                      jnp.where(r_bad2, (10. / 3.) * (tm - uel), r_usr1))
+    usl_R = jnp.where(r_bad1, 20. * (uer - tm),
+                      jnp.where(r_bad2, 0., r_usl2))
+    uer_R = jnp.where(r_bad1, uer,
+                      jnp.where(r_bad2, 2.5 * tm - 1.5 * uel, uer))
+    uel_R = jnp.where(r_bad1, 5. * tm - 4. * uer, uel)
+
+    left = jnp.abs(sl) < jnp.abs(sr)
+    uel_f = jnp.where(left, uel_L, uel_R)
+    uer_f = jnp.where(left, uer_L, uer_R)
+    usl_f = jnp.where(left, usl_L, usl_R)
+    usr_f = jnp.where(left, usr_L, usr_R)
+
+    uel = jnp.where(incon, uel_f, uel)
+    uer = jnp.where(incon, uer_f, uer)
+    usl = jnp.where(incon, usl_f, usl)
+    usr = jnp.where(incon, usr_f, usr)
+
+    # boundary cells (:2266-2336): not treated as extrema, but the
+    # reconstruction is kept monotonic within the cell
+    kk = tm.shape[0]
+    kidx = jnp.arange(kk).reshape((kk,) + (1,) * (tm.ndim - 1))
+    u2 = tm[1] if kk > 1 else tm[0]
+    u3 = tm[2] if kk > 2 else tm[-1]
+    pcm_top = (u2 - uer[0]) * (tm[0] - uer[0]) > 0.
+    s_top = 2. * (u3 - u2) / (dx[1] + dx[2]) if kk > 2         else jnp.zeros_like(tm[0])
+    cand = tm[0] + (1. / 3.) * s_top * dx[0]
+    uer0 = jnp.where(s_top > 0.,
+                     jnp.maximum(tm[0], jnp.minimum(uel[1], cand)),
+                     jnp.minimum(tm[0], jnp.maximum(uel[1], cand)))
+    uer0 = jnp.where(pcm_top, tm[0], uer0)
+    uel0 = jnp.where(pcm_top, tm[0], .5 * (3. * tm[0] - uer0))
+    usl0 = jnp.where(pcm_top, 0.,
+                     6. * tm[0] - 4. * uel0 - 2. * uer0)
+    usr0 = jnp.where(pcm_top, 0.,
+                     2. * uel0 + 4. * uer0 - 6. * tm[0])
+
+    um1 = tm[-2] if kk > 1 else tm[0]
+    um2 = tm[-3] if kk > 2 else tm[0]
+    pcm_bot = (tm[-1] - uel[-1]) * (um1 - uel[-1]) > 0.
+    s_bot = 2. * (um1 - um2) / (dx[-3] + dx[-2]) if kk > 2         else jnp.zeros_like(tm[-1])
+    candb = tm[-1] - (1. / 3.) * s_bot * dx[-1]
+    uelN = jnp.where(s_bot > 0.,
+                     jnp.minimum(tm[-1], jnp.maximum(uer[-2], candb)),
+                     jnp.maximum(tm[-1], jnp.minimum(uer[-2], candb)))
+    uelN = jnp.where(pcm_bot, tm[-1], uelN)
+    uerN = jnp.where(pcm_bot, tm[-1], .5 * (3. * tm[-1] - uelN))
+    uslN = jnp.where(pcm_bot, 0.,
+                     6. * tm[-1] - 4. * uelN - 2. * uerN)
+    usrN = jnp.where(pcm_bot, 0.,
+                     2. * uelN + 4. * uerN - 6. * tm[-1])
+
+    uel = uel.at[0].set(uel0).at[-1].set(uelN)
+    uer = uer.at[0].set(uer0).at[-1].set(uerN)
+    usl = usl.at[0].set(usl0).at[-1].set(uslN)
+    usr = usr.at[0].set(usr0).at[-1].set(usrN)
+    return uel, uer, usl, usr
+
+
+def pqm_reconstruct(p, tm, limiting=MONOTONIC,
+                    pc_upper=False, pc_lower=False,
+                    lb_ord: int = 6, rb_ord: int = 4) -> Recon:
+    """Piecewise Quartic Method reconstruction (the reference's
+    hor3map PQM path: prepare_pqm + reconstruct_pqm_edge_slope_values
+    + limit_pqm_*, mod_hor3map.F90:1041-1306,1765-1870,2119-2624).
+
+    Quartic per cell in normalized xi: f = c0 + c1 xi + ... + c4 xi^4
+    with f(0)=uel, f(1)=uer, f'(0)=usl, f'(1)=usr, mean=tm."""
+    kk = tm.shape[0]
+    dx = jnp.maximum(p[1:] - p[:-1], 0.) + heps
+    edges, slopes = edges_slopes_ih6(p, tm, lb_ord, rb_ord)
+    uel, uer = edges[:-1], edges[1:]
+    usl = slopes[:-1] * dx     # xi-slopes (":1866-1868")
+    usr = slopes[1:] * dx
+
+    if limiting == MONOTONIC:
+        uel, uer, usl, usr = _limit_pqm_monotonic(tm, dx, uel, uer,
+                                                  usl, usr)
+    elif limiting in (NON_OSCILLATORY, NON_OSCILLATORY_POSDEF):
+        # d2-gated: only limit where curvature changes sign
+        d2 = uel - 2. * tm + uer
+        d2_m = jnp.concatenate([d2[:1], d2[:-1]], axis=0)
+        d2_p = jnp.concatenate([d2[1:], d2[-1:]], axis=0)
+        need = (d2_m * d2 <= 0.) | (d2 * d2_p <= 0.)
+        uel_l, uer_l, usl_l, usr_l = _limit_pqm_monotonic(
+            tm, dx, uel, uer, usl, usr)
+        uel = jnp.where(need, uel_l, uel)
+        uer = jnp.where(need, uer_l, uer)
+        usl = jnp.where(need, usl_l, usl)
+        usr = jnp.where(need, usr_l, usr)
+        if limiting == NON_OSCILLATORY_POSDEF:
+            uel = jnp.maximum(uel, 0.)
+            uer = jnp.maximum(uer, 0.)
+
+    kidx = jnp.arange(kk).reshape((kk,) + (1,) * (tm.ndim - 1))
+    pc_mask = jnp.zeros_like(tm, dtype=bool)
+    if pc_upper:
+        pc_mask = pc_mask | (kidx == 0)
+    if pc_lower:
+        pc_mask = pc_mask | (kidx == kk - 1)
+    pc_mask = pc_mask | (dx <= 2. * heps)
+    uel = jnp.where(pc_mask, tm, uel)
+    uer = jnp.where(pc_mask, tm, uer)
+    usl = jnp.where(pc_mask, 0., usl)
+    usr = jnp.where(pc_mask, 0., usr)
+
+    # quartic coefficients from (uel, uer, usl, usr, mean)
+    c0 = uel
+    c1 = usl
+    c2 = 30. * tm - 18. * uel - 12. * uer - 4.5 * usl + 1.5 * usr
+    c3 = -60. * tm + 32. * uel + 28. * uer + 6. * usl - 4. * usr
+    c4 = 30. * tm - 15. * (uel + uer) - 2.5 * (usl - usr)
+    return Recon(p=p, c0=c0, c1=c1, c2=c2, c3=c3, c4=c4)
