@@ -117,7 +117,8 @@ def convec(grid: Grid, e: eos.EosParams, s: State, m: int, n: int) -> State:
         # kfpl_new = last k with densr <= dens_mix (deepest fitting), or 2
         kfpl_new = jnp.maximum(jnp.max(jnp.where(ok_class, kidx, 2 - 1),
                                        axis=0), 2).astype(jnp.int32)
-        kfpl_new = jnp.minimum(kfpl_new, jnp.maximum(kmix, 2))
+        kfpl_new = jnp.minimum(kfpl_new,
+                               jnp.maximum(kmix, 2)).astype(jnp.int32)
 
         # mass absorbed from the interior
         dps_int = jnp.sum(jnp.where(absorbed & (kidx >= 2), delp, 0.),

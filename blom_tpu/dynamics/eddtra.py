@@ -139,3 +139,77 @@ def eddtra(grid: Grid, s: State, cf: CmnFields, dfl: DiffusionFields,
         dfl,
         umfltd=dfl.umfltd.at[m].set(umfltd),
         vmfltd=dfl.vmfltd.at[m].set(vmfltd))
+
+
+def eddtra_isopyc(grid: Grid, s: State, dfl: DiffusionFields,
+                  m: int, n: int, delt1) -> DiffusionFields:
+    """GM eddy-induced mass fluxes for the isopycnic regime
+    (eddtra_gm_isopyc_bulkml, mod_eddtra.F90:228-1000).
+
+    In the isopycnic framework the layer interfaces ARE the neutral
+    surfaces, so the GM interface streamfunction is kappa times the
+    interface pressure slope, Upsilon_k = -kappa * d p_k / dx
+    (in pressure units; the reference's upsilon, :382-420), active on
+    interior interfaces (k >= kfpla, the first physical interior
+    layer) and ramped linearly to zero through the bulk mixed layer
+    (layers 1-2).  The dense re-design evaluates every interface and
+    masks the reference's per-column case logic: columns where the
+    mixed layer reaches the bottom on both sides (kfpla > kk at both
+    scalar points, Case 1, :315-321) get zero flux; the hydrostatic-
+    selection subtleties of Cases 2/3 collapse to the interior-start
+    mask max(kfpla(i-1), kfpla(i)).  The same ffac depletion limiter
+    is applied (:560-760)."""
+    kk = grid.kk
+    iu, iv, ip = grid.iu, grid.iv, grid.ip
+    im1, jm1 = grid.im1, grid.jm1
+
+    p = cumulative_p(s.dp[n]) * ip
+    kfpla = s.kfpla[n]
+
+    def direction(mask, nbr, dpuv, pbuv, scuv, scuvxi, area_nbr):
+        kappa = .5 * (nbr(dfl.difint) + dfl.difint)
+        kappa_i = jnp.concatenate(
+            [kappa[:1], .5 * (kappa[:-1] + kappa[1:]), kappa[-1:]],
+            axis=0)
+        # interface pressure slope at the velocity point [Pa / m]
+        dpdx = (p - nbr(p)) * scuvxi[None]
+        et2mf = -grav * rho0 * delt1 * scuv
+        mfl_gm = -kappa_i * (-dpdx / (grav * rho0)) * et2mf * mask
+
+        # interior gate: interfaces above the first physical interior
+        # layer of BOTH adjacent columns are mixed-layer interfaces
+        kintr = jnp.maximum(kfpla, nbr(kfpla))          # (H,)
+        kidx = jnp.arange(kk + 1).reshape(
+            (kk + 1,) + (1,) * (p.ndim - 1))
+        interior = (kidx >= kintr[None]) & (kidx < kk)
+        # Case 1: mixed layer to the bottom on both sides -> no flux
+        active = (kintr <= kk)[None]
+
+        # linear ramp through the mixed layer: value at the interior
+        # start interface, scaled by p / p_intr (:430-470)
+        first_int = (jnp.cumsum(interior.astype(jnp.int32), axis=0)
+                     == 1) & interior
+        mfl_base = jnp.sum(jnp.where(first_int, mfl_gm, 0.), axis=0)
+        p_base = jnp.sum(jnp.where(first_int, p, 0.), axis=0)
+        puv = cumulative_p(dpuv)
+        frac = jnp.clip(puv / jnp.maximum(p_base[None], epsilp), 0., 1.)
+        mfl = jnp.where(interior, mfl_gm, mfl_base[None] * frac)
+        mfl = jnp.where(active, mfl, 0.)
+        mfl = mfl.at[0].set(0.).at[kk].set(0.)
+
+        avail_n = jnp.maximum(
+            0., jnp.minimum(nbr(p[1:]), pbuv) - nbr(p[:-1]))
+        avail_c = jnp.maximum(0., jnp.minimum(p[1:], pbuv) - p[:-1])
+        mfl = _limit_mfl(mfl * mask, avail_n, avail_c,
+                         area_nbr, grid.scp2)
+        return (mfl[1:] - mfl[:-1]) * mask
+
+    umfltd = direction(iu, im1, s.dpu[n], s.pbu[n], grid.scuy,
+                       grid.scuxi, im1(grid.scp2))
+    vmfltd = direction(iv, jm1, s.dpv[n], s.pbv[n], grid.scvx,
+                       grid.scvyi, jm1(grid.scp2))
+
+    return dataclasses.replace(
+        dfl,
+        umfltd=dfl.umfltd.at[m].set(umfltd),
+        vmfltd=dfl.vmfltd.at[m].set(vmfltd))

@@ -182,12 +182,19 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
         ckpt(n)   # budget_sums(2,n) after the remap (:132)
 
     # derived fields + lateral diffusivities + GM eddy transport
-    # (cmnfld2 / difest_lateral_hybrid / eddtra, mod_blom_step.F90:136-147)
-    if not par.vcoord_isopyc and par.difest is not None:
+    # (cmnfld2 / difest_lateral_hybrid|difest_isobml / eddtra,
+    # mod_blom_step.F90:136-147; isopycnic GM: eddtra_gm_isopyc_bulkml,
+    # mod_eddtra.F90:228)
+    if par.difest is not None and (not par.vcoord_isopyc
+                                   or par.difest.egc > 0.):
         cf = cmnfld(grid, e, s, n)
         dfl = difest_lateral(grid, s, cf, par.difest, dfl, m, n)
         if par.difest.egc > 0.:
-            dfl = eddtra(grid, s, cf, dfl, m, n, delt1)
+            if par.vcoord_isopyc:
+                from .eddtra import eddtra_isopyc
+                dfl = eddtra_isopyc(grid, s, dfl, m, n, delt1)
+            else:
+                dfl = eddtra(grid, s, cf, dfl, m, n, delt1)
 
     # advection (mod_blom_step.F90:148)
     s = advect(grid, s, dfl, coeffs_i, coeffs_j, m, n, delt1, dlt,
@@ -200,12 +207,14 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
     # diffus) or along neutral surfaces (ltedtp 'neutral', the
     # reference routes this through the ale_regrid_remap jslice
     # pipeline, mod_ale_regrid_remap.F90:1643-1670)
-    if not par.vcoord_isopyc and par.difest is not None \
+    if par.difest is not None \
             and (par.difest.egc > 0. or par.difest.egmndf > 0.):
-        if par.ltedtp == 'neutral':
+        if par.ltedtp == 'neutral' and not par.vcoord_isopyc:
             from ..core.constants import onem
             s = ndiff(grid, e, s, dfl, m, n, delt1, cf.mld * onem)
         else:
+            # along-layer diffusion: along isopycnals in the isopycnic
+            # regime (mod_blom_step.F90:152 diffus, both regimes)
             s = diffus(grid, e, s, dfl, m, n, delt1)
 
     ckpt(n)   # budget_sums(2|3,n) after advect/diffus (:156,159)
