@@ -162,47 +162,156 @@ def _edge4(dx, tm):
     return e
 
 
-def _limit_mono(tm, tel, ter):
-    """Standard PPM monotonic limiter (h_edges_mono logic,
-    mod_cppm.F90:436-488 / hor3map monotonic limiting), vertical axis 0;
-    uniform-coefficient slopes (ssc=2, scc from spacing assumed equal)."""
+def _kidx(kk, ndim):
+    return jnp.arange(kk).reshape((kk,) + (1,) * (ndim - 1))
+
+
+def _slope_clamp(tm, tel, ter, dx, apply_mask):
+    """The shared slope-based edge clamp of both PPM interior limiters
+    (limit_ppm_interior_monotonic, mod_hor3map.F90:1885-1907): limit
+    edges by the minmod of one-sided/centered slopes on the nonuniform
+    grid, flattening local extrema; applied where apply_mask holds (and
+    only at interior cells — boundary cells are handled by
+    _limit_boundary)."""
     kk = tm.shape[0]
     tm_m = jnp.concatenate([tm[:1], tm[:-1]], axis=0)
     tm_p = jnp.concatenate([tm[1:], tm[-1:]], axis=0)
-    sl = 2. * (tm - tm_m)
-    sr = 2. * (tm_p - tm)
+    dx_m = jnp.concatenate([dx[:1], dx[:-1]], axis=0)
+    dx_p = jnp.concatenate([dx[1:], dx[-1:]], axis=0)
+    hi = 1.0 / dx
+    hci = 2.0 / (dx_m + 2. * dx + dx_p)
+    sl = 2. * (tm - tm_m) * hi
+    sr = 2. * (tm_p - tm) * hi
     has = sl * sr > 0.
-    sc0 = .5 * (tm_p - tm_m)
-    sc = jnp.sign(sc0) * jnp.minimum(jnp.minimum(jnp.abs(sl), jnp.abs(sr)),
-                                     jnp.abs(sc0))
+    sc0 = (tm_p - tm_m) * hci
+    sc = jnp.copysign(jnp.minimum(jnp.minimum(jnp.abs(sl), jnp.abs(sr)),
+                                  jnp.abs(sc0)), sc0)
+    lim = .5 * dx * jnp.abs(sc)
     tel2 = jnp.where((tm_m - tel) * (tm - tel) > 0.,
-                     tm - jnp.sign(sc) * jnp.minimum(.5 * jnp.abs(sc),
-                                                     jnp.abs(tel - tm)), tel)
+                     tm - jnp.copysign(jnp.minimum(lim, jnp.abs(tel - tm)),
+                                       sc), tel)
     ter2 = jnp.where((tm_p - ter) * (tm - ter) > 0.,
-                     tm + jnp.sign(sc) * jnp.minimum(.5 * jnp.abs(sc),
-                                                     jnp.abs(ter - tm)), ter)
-    d = ter2 - tel2
-    q = d * (2. * tm - tel2 - ter2)
-    r = d * d / 3.
-    tel3 = jnp.where(q > r, 3. * tm - 2. * ter2, tel2)
-    ter3 = jnp.where(-r > q, 3. * tm - 2. * tel2, ter2)
-    tel = jnp.where(has, tel3, tm)
-    ter = jnp.where(has, ter3, tm)
+                     tm + jnp.copysign(jnp.minimum(lim, jnp.abs(ter - tm)),
+                                       sc), ter)
+    tel2 = jnp.where(has, tel2, tm)
+    ter2 = jnp.where(has, ter2, tm)
+    interior = (_kidx(kk, tm.ndim) >= 1) & (_kidx(kk, tm.ndim) <= kk - 2)
+    m = apply_mask & interior
+    return jnp.where(m, tel2, tel), jnp.where(m, ter2, ter)
+
+
+def _pair_sweep(tm, tel, ter):
+    """Edge-pair consistency sweep (mod_hor3map.F90:1911-1917): where the
+    jump across an interior edge opposes the cell-mean difference,
+    replace both one-sided edge values by their average.  Each pass
+    writes tel[j] and ter[j-1] only, so the Fortran loop is
+    order-independent and vectorizes exactly."""
+    kk = tm.shape[0]
+    tm_m = jnp.concatenate([tm[:1], tm[:-1]], axis=0)
+    ter_m = jnp.concatenate([ter[:1], ter[:-1]], axis=0)
+    kidx = _kidx(kk, tm.ndim)
+    cond = ((tel - ter_m) * (tm - tm_m) < 0.) \
+        & (kidx >= 2) & (kidx <= kk - 2)
+    avg = .5 * (ter_m + tel)
+    tel = jnp.where(cond, avg, tel)
+    cond_p = jnp.concatenate([cond[1:], cond[-1:] & False], axis=0)
+    avg_p = jnp.concatenate([avg[1:], avg[-1:]], axis=0)
+    ter = jnp.where(cond_p, avg_p, ter)
     return tel, ter
 
 
-def _limit_nosc(tm, tel, ter):
-    """Non-oscillatory limiting: keep unlimited parabolas where the
-    second derivative has consistent sign across neighbors (h_edges_nosc
-    logic, mod_cppm.F90:361-434 applied vertically)."""
+def _parabola_limit(tm, tel, ter, apply_mask):
+    """Overshoot limiting of the parabola interior extremum
+    (mod_hor3map.F90:1919-1929), interior cells only."""
+    kk = tm.shape[0]
+    kidx = _kidx(kk, tm.ndim)
+    d = ter - tel
+    q = d * (2. * tm - tel - ter)
+    r = d * d / 3.
+    m = apply_mask & (kidx >= 1) & (kidx <= kk - 2)
+    tel2 = jnp.where(m & (q > r), 3. * tm - 2. * ter, tel)
+    ter2 = jnp.where(m & (-r > q), 3. * tm - 2. * tel, ter)
+    return tel2, ter2
+
+
+def _limit_boundary(tm, tel, ter, dx, pc_upper=False, pc_lower=False):
+    """Boundary-cell limiting (limit_ppm_boundary,
+    mod_hor3map.F90:2000-2070): don't treat boundary cells as extrema,
+    but keep their parabolas monotonic within the cell."""
+    kk = tm.shape[0]
+    kidx = _kidx(kk, tm.ndim)
+
+    # top (left) boundary cell 0
+    flat0 = (tm[1] - ter[0]) * (tm[0] - ter[0]) > 0.
+    s0 = 2. * (tm[2] - tm[1]) / (dx[1] + dx[2])
+    cand0 = tm[0] + s0 * dx[0] / 3.
+    uer0 = jnp.where(s0 > 0.,
+                     jnp.maximum(tm[0], jnp.minimum(ter[0], cand0)),
+                     jnp.minimum(tm[0], jnp.maximum(ter[0], cand0)))
+    uer0 = jnp.where(flat0, tm[0], uer0)
+    uel0 = jnp.where(flat0, tm[0], .5 * (3. * tm[0] - uer0))
+    if pc_upper:
+        uel0, uer0 = tm[0], tm[0]
+
+    # bottom (right) boundary cell kk-1
+    flat1 = (tm[kk - 1] - tel[kk - 1]) * (tm[kk - 2] - tel[kk - 1]) > 0.
+    s1 = 2. * (tm[kk - 2] - tm[kk - 3]) / (dx[kk - 3] + dx[kk - 2])
+    cand1 = tm[kk - 1] - s1 * dx[kk - 1] / 3.
+    uel1 = jnp.where(s1 > 0.,
+                     jnp.minimum(tm[kk - 1], jnp.maximum(tel[kk - 1], cand1)),
+                     jnp.maximum(tm[kk - 1], jnp.minimum(tel[kk - 1], cand1)))
+    uel1 = jnp.where(flat1, tm[kk - 1], uel1)
+    uer1 = jnp.where(flat1, tm[kk - 1], .5 * (3. * tm[kk - 1] - uel1))
+    if pc_lower:
+        uel1, uer1 = tm[kk - 1], tm[kk - 1]
+
+    tel = jnp.where(kidx == 0, uel0[None], tel)
+    ter = jnp.where(kidx == 0, uer0[None], ter)
+    tel = jnp.where(kidx == kk - 1, uel1[None], tel)
+    ter = jnp.where(kidx == kk - 1, uer1[None], ter)
+    return tel, ter
+
+
+def _limit_posdef(tm, tel, ter):
+    """Positive-definite parabola adjustment (limit_ppm_posdef,
+    mod_hor3map.F90:2072-2098), all cells."""
+    min_u_0 = jnp.minimum(tm, 0.)
+    tel = jnp.maximum(tel, min_u_0)
+    ter = jnp.maximum(ter, min_u_0)
+    sl = 2. * (3. * tm - 2. * tel - ter)
+    a2 = 3. * (tel - 2. * tm + ter)
+    sr = sl + 2. * a2
+    denom = 3. * sl * sr + 4. * a2 * a2
+    q = 3. * tm / jnp.where(jnp.abs(denom) < 1e-300, 1e-300, denom)
+    neg = (sl < 0.) & (sr > 0.) & (a2 * tel - .25 * sl * sl < a2 * min_u_0)
+    tel = jnp.where(neg, sl * sl * q, tel)
+    ter = jnp.where(neg, sr * sr * q, ter)
+    return tel, ter
+
+
+def _limit_mono(tm, tel, ter, dx):
+    """PPM monotonic limiter (limit_ppm_interior_monotonic,
+    mod_hor3map.F90:1872-1927), nonuniform grid, vertical axis 0.
+    Interior cells only; call _limit_boundary afterwards."""
+    always = jnp.ones(tm.shape, bool)
+    tel, ter = _slope_clamp(tm, tel, ter, dx, always)
+    tel, ter = _pair_sweep(tm, tel, ter)
+    return _parabola_limit(tm, tel, ter, always)
+
+
+def _limit_nosc(tm, tel, ter, dx):
+    """Non-oscillatory limiting (limit_ppm_interior_non_oscillatory,
+    mod_hor3map.F90:1929-1998): apply the slope clamp and parabola limit
+    only where the parabola's second derivative changes sign vs a
+    neighbor; the pair sweep runs unconditionally."""
+    kk = tm.shape[0]
     d2 = tel - 2. * tm + ter
     d2_m = jnp.concatenate([d2[:1], d2[:-1]], axis=0)
     d2_p = jnp.concatenate([d2[1:], d2[-1:]], axis=0)
-    need = (d2_m * d2 <= 0.) | (d2 * d2_p <= 0.)
-    tel_l, ter_l = _limit_mono(tm, tel, ter)
-    tel = jnp.where(need, tel_l, tel)
-    ter = jnp.where(need, ter_l, ter)
-    return tel, ter
+    need = (d2_m * d2 < 0.) | (d2 * d2_p < 0.)
+    tel, ter = _slope_clamp(tm, tel, ter, dx, need)
+    tel, ter = _pair_sweep(tm, tel, ter)
+    return _parabola_limit(tm, tel, ter, need)
 
 
 def ppm_reconstruct(p, tm, limiting=NON_OSCILLATORY,
@@ -219,12 +328,13 @@ def ppm_reconstruct(p, tm, limiting=NON_OSCILLATORY,
     ter = e[1:]
 
     if limiting == MONOTONIC:
-        tel, ter = _limit_mono(tm, tel, ter)
+        tel, ter = _limit_mono(tm, tel, ter, dx)
+        tel, ter = _limit_boundary(tm, tel, ter, dx, pc_upper, pc_lower)
     elif limiting in (NON_OSCILLATORY, NON_OSCILLATORY_POSDEF):
-        tel, ter = _limit_nosc(tm, tel, ter)
+        tel, ter = _limit_nosc(tm, tel, ter, dx)
+        tel, ter = _limit_boundary(tm, tel, ter, dx, pc_upper, pc_lower)
         if limiting == NON_OSCILLATORY_POSDEF:
-            tel = jnp.maximum(tel, 0.)
-            ter = jnp.maximum(ter, 0.)
+            tel, ter = _limit_posdef(tm, tel, ter)
 
     kidx = jnp.arange(kk).reshape((kk,) + (1,) * (tm.ndim - 1))
     pc_mask = jnp.zeros_like(tm, dtype=bool)
@@ -653,12 +763,13 @@ def ppm_ih4_reconstruct(p, tm, limiting=NON_OSCILLATORY,
     tel, ter = e[:-1], e[1:]
 
     if limiting == MONOTONIC:
-        tel, ter = _limit_mono(tm, tel, ter)
+        tel, ter = _limit_mono(tm, tel, ter, dx)
+        tel, ter = _limit_boundary(tm, tel, ter, dx, pc_upper, pc_lower)
     elif limiting in (NON_OSCILLATORY, NON_OSCILLATORY_POSDEF):
-        tel, ter = _limit_nosc(tm, tel, ter)
+        tel, ter = _limit_nosc(tm, tel, ter, dx)
+        tel, ter = _limit_boundary(tm, tel, ter, dx, pc_upper, pc_lower)
         if limiting == NON_OSCILLATORY_POSDEF:
-            tel = jnp.maximum(tel, 0.)
-            ter = jnp.maximum(ter, 0.)
+            tel, ter = _limit_posdef(tm, tel, ter)
 
     kidx = jnp.arange(kk).reshape((kk,) + (1,) * (tm.ndim - 1))
     pc_mask = jnp.zeros_like(tm, dtype=bool)

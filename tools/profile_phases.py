@@ -66,14 +66,20 @@ def main():
     dlt = par.dlt
 
     s0 = model.state
-    # run a couple of real steps so the state is "warm" (nonzero fluxes)
-    s0, dfl = stepmod.blom_step(grid, e, par, ci, cj, s0, forcing, dfl,
-                                0, 1, delt1, swabs)
-    s0, dfl = stepmod.blom_step(grid, e, par, ci, cj, s0, forcing, dfl,
-                                1, 0, delt1, swabs)
+
+    # run a couple of real steps so the state is "warm" (nonzero fluxes);
+    # jitted — eager dispatch through the TPU tunnel is pathologically slow
+    @jax.jit
+    def warm(s, dfl):
+        s, dfl = stepmod.blom_step(grid, e, par, ci, cj, s, forcing, dfl,
+                                   0, 1, delt1, swabs)
+        return stepmod.blom_step(grid, e, par, ci, cj, s, forcing, dfl,
+                                 1, 0, delt1, swabs)
+    s0, dfl = warm(s0, dfl)
     jax.block_until_ready(s0.dp)
 
-    cf0 = cmnfld(grid, e, s0, n)
+    cf0 = jax.jit(lambda s: cmnfld(grid, e, s, n))(s0)
+    jax.block_until_ready(cf0.bfsqf)
 
     total = 0.
     total += timeit("full step", lambda s: stepmod.blom_step(
