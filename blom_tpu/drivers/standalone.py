@@ -208,8 +208,12 @@ def run(model: Model, nsteps: int, dia_group=None, cnsvdi: bool = False,
                         return acc_bgcm(gi, model.grid, s, 1,
                                         model.par.itrbgc, bgcd,
                                         ti=model.par.bgc_ti)
-                    return accumulate(model.grid, gi, s, 1,
-                                      model.forcing, d)
+                    return accumulate(
+                        model.grid, gi, s, 1, model.forcing, d,
+                        swabs=model.swabs,
+                        tridx={'itriag': model.par.itriag,
+                               'itrtke': model.par.itrtke,
+                               'itrgls': model.par.itrgls})
                 if isinstance(g, (tuple, list)):
                     return type(g)(one_g(gi) for gi in g)
                 return one_g(g)

@@ -325,31 +325,19 @@ def ale_regrid_remap(grid: Grid, e: eos.EosParams, ale: AleParams,
     if ale.smooth_diff_max > 0.:
         p_dst = regrid_smooth(grid, ale, p_dst, smooth_fac, delt1)
 
-    # 4. remap tracers (copy_jslice_to_3d, :1153-1179)
-    temp_new = h3.remap_means(rc_t, p_dst) * ip
-    saln_new = h3.remap_means(rc_s, p_dst) * ip
+    # 4.+5. remap tracers and velocities (copy_jslice_to_3d, :1153-1179;
+    # velocity remap :1760-1960).  The new velocity-point grids depend
+    # only on p_dst, so the tracer and velocity remaps fuse into one
+    # multi-group scan over source layers (h3.remap_groups).
     dp_new = jnp.maximum(p_dst[1:] - p_dst[:-1], 0.) * ip
-    sigma_new = eos.sig(e, temp_new, saln_new) * ip
 
     ntr = s.trc.shape[1]
-    if ntr:
-        trc_news = []
-        for nt in range(ntr):
-            rc_c = _recon(ale, p_src, s.trc[n, nt],
-                                      ale.tracer_limiting,
-                                      pc_upper=ale.tracer_pc_upper)
-            trc_news.append(h3.remap_means(rc_c, p_dst) * ip)
-        s = dataclasses.replace(
-            s, trc=s.trc.at[n].set(jnp.stack(trc_news, axis=0)))
+    rcs_p = [rc_t, rc_s]
+    for nt in range(ntr):
+        rcs_p.append(_recon(ale, p_src, s.trc[n, nt],
+                            ale.tracer_limiting,
+                            pc_upper=ale.tracer_pc_upper))
 
-    s = dataclasses.replace(
-        s,
-        dp=s.dp.at[n].set(dp_new),
-        temp=s.temp.at[n].set(temp_new),
-        saln=s.saln.at[n].set(saln_new),
-        sigma=s.sigma.at[n].set(sigma_new))
-
-    # 5. velocity remap (:1760-1960)
     pu_old = cumulative_p(s.dpu[n])
     pv_old = cumulative_p(s.dpv[n])
 
@@ -361,17 +349,33 @@ def ale_regrid_remap(grid: Grid, e: eos.EosParams, ale: AleParams,
     # rescale old velocity-point interfaces to the new column range
     qu = jnp.minimum(im1(p_bot), p_bot) \
         / jnp.maximum(pu_old[kk], epsilp)
-    p_src_u = pu_old * qu
-    rc_u = _recon(ale, p_src_u, s.u[n], ale.velocity_limiting,
-                              pc_upper=ale.velocity_pc_upper)
-    u_new = h3.remap_means(rc_u, pu_new) * iu
-
+    rc_u = _recon(ale, pu_old * qu, s.u[n], ale.velocity_limiting,
+                  pc_upper=ale.velocity_pc_upper)
     qv = jnp.minimum(jm1(p_bot), p_bot) \
         / jnp.maximum(pv_old[kk], epsilp)
-    p_src_v = pv_old * qv
-    rc_v = _recon(ale, p_src_v, s.v[n], ale.velocity_limiting,
-                              pc_upper=ale.velocity_pc_upper)
-    v_new = h3.remap_means(rc_v, pv_new) * iv
+    rc_v = _recon(ale, pv_old * qv, s.v[n], ale.velocity_limiting,
+                  pc_upper=ale.velocity_pc_upper)
+
+    (means_p, (u_mean,), (v_mean,)) = h3.remap_groups([
+        (rcs_p, p_dst), ([rc_u], pu_new), ([rc_v], pv_new)])
+
+    temp_new = means_p[0] * ip
+    saln_new = means_p[1] * ip
+    sigma_new = eos.sig(e, temp_new, saln_new) * ip
+    u_new = u_mean * iu
+    v_new = v_mean * iv
+
+    if ntr:
+        s = dataclasses.replace(
+            s, trc=s.trc.at[n].set(
+                jnp.stack([mn * ip for mn in means_p[2:]], axis=0)))
+
+    s = dataclasses.replace(
+        s,
+        dp=s.dp.at[n].set(dp_new),
+        temp=s.temp.at[n].set(temp_new),
+        saln=s.saln.at[n].set(saln_new),
+        sigma=s.sigma.at[n].set(sigma_new))
 
     return dataclasses.replace(
         s,

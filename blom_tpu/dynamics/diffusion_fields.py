@@ -27,6 +27,12 @@ class DiffusionFields:
     vmfltd: jax.Array
     umflsm: jax.Array   # (2, K, H) submesoscale mass flux [kg m s-2]
     vmflsm: jax.Array
+    # vertical mixing coefficients stored for diagnostics (the
+    # reference's difvho/difvso/difvmo of mod_diffusion.F90, filled
+    # from CVMix/KPP each step; H2D/LYR/LVL_DIFV* ids of mod_dia.F90)
+    difvho: jax.Array   # (K, H) vertical heat diffusivity [m2 s-1]
+    difvso: jax.Array   # (K, H) vertical salt diffusivity [m2 s-1]
+    difvmo: jax.Array   # (K, H) vertical momentum viscosity [m2 s-1]
 
 
 def zero_diffusion_fields(kk: int, shape, dtype=jnp.float64):
@@ -36,4 +42,5 @@ def zero_diffusion_fields(kk: int, shape, dtype=jnp.float64):
     return DiffusionFields(
         difint=zk, difiso=zk, difdia=zk,
         difwgt=jnp.ones(H, dtype),
-        umfltd=z2k, vmfltd=z2k, umflsm=z2k, vmflsm=z2k)
+        umfltd=z2k, vmfltd=z2k, umflsm=z2k, vmflsm=z2k,
+        difvho=zk, difvso=zk, difvmo=zk)

@@ -236,6 +236,9 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
         ckpt(n)   # budget_sums(3,n) after convec (:177)
         if par.vmix is not None and swabs is not None:
             vf = _difest_v(par)(grid, e, s, forcing, swabs, par.vmix, n)
+            dfl = dataclasses.replace(dfl, difvho=vf.Kdiff_t,
+                                      difvso=vf.Kdiff_s,
+                                      difvmo=vf.Kvisc_m)
             kdiff = vf.Kdiff_t
             if par.itrtke >= 0:
                 # TKE(/GLS) second-order closure replaces the Ri-based
@@ -275,6 +278,8 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
         # cmnfld_bfsqi_ale + ale_forcing + difest_vertical_hybrid are
         # fused in difest_vertical; then implicit vertical diffusion.
         vf = _difest_v(par)(grid, e, s, forcing, swabs, par.vmix, n)
+        dfl = dataclasses.replace(dfl, difvho=vf.Kdiff_t,
+                                  difvso=vf.Kdiff_s, difvmo=vf.Kvisc_m)
         s = ale_vdifft(grid, e, s, forcing, vf, m, n, delt1)
         s = ale_vdiffm(grid, s, vf, m, n, delt1)
         ckpt(n)   # budget_sums(4,n) after ale_vdiffm (:205)
@@ -359,7 +364,10 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
                 if isinstance(g, BgcmGroup):
                     return acc_bgcm(g, grid, s, lev, par.itrbgc,
                                     bgc_diags or {}, ti=par.bgc_ti)
-                return accumulate(grid, g, s, lev, forcing, dfl_c)
+                return accumulate(
+                    grid, g, s, lev, forcing, dfl_c, swabs=swabs,
+                    tridx={'itriag': par.itriag, 'itrtke': par.itrtke,
+                           'itrgls': par.itrgls})
 
             if isinstance(group, (tuple, list)):
                 return type(group)(acc1(g) for g in group)

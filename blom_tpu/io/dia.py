@@ -33,6 +33,56 @@ class DiaCtx(NamedTuple):
     s: State
     frc: object = None     # phys.forcing.Forcing
     dfl: object = None     # dynamics.diffusion_fields.DiffusionFields
+    si: object = None      # phys.seaice.SeaiceState
+    swabs: object = None   # phys.swabs.SwabsFields
+    tridx: dict = None     # tracer indices {'itriag','itrtke','itrgls'}
+
+
+def _si(name):
+    """Sea-ice slab field (H2D_FICE/HICE/HSNW/TICE/TSRF/IAGE,
+    mod_dia.F90:204-219; zeros when no ice model is active)."""
+    def fn(c, n):
+        if c.si is None:
+            return jnp.zeros(c.g.shape, c.s.pb.dtype)
+        return getattr(c.si, name)
+    return fn
+
+
+def _swabs(name):
+    """Shortwave-absorption profile field (H2D_SWFC1/SWFC2/SWAL1/SWAL2,
+    mod_dia.F90; zeros when swabs fields are absent)."""
+    def fn(c, n):
+        if c.swabs is None:
+            return jnp.zeros(c.g.shape, c.s.pb.dtype)
+        return getattr(c.swabs, name)
+    return fn
+
+
+def _trc_by_index(key, floor=None):
+    """A named tracer extracted from the dynamic tracer block by its
+    registry index (LYR_TKE/GLS/IDLAGE, mod_dia.F90:220-240)."""
+    def fn(c, n):
+        idx = -1 if not c.tridx else c.tridx.get(key, -1)
+        if idx is None or idx < 0:
+            return jnp.zeros(c.s.temp.shape[1:], c.s.temp.dtype)
+        v = c.s.trc[n, idx]
+        return v if floor is None else jnp.maximum(v, floor)
+    return fn
+
+
+def _wflx(c, n):
+    """Diagnosed vertical mass flux through interfaces [kg s-1]
+    (LYR_WFLX, mod_dia.F90): cumulative horizontal flux divergence from
+    the accumulated uflx/vflx, downward positive, top interface zero."""
+    g = c.g
+    div = (g.ip1(c.s.uflx[n]) - c.s.uflx[n]
+           + g.jp1(c.s.vflx[n], 'v', True) - c.s.vflx[n])
+    return jnp.cumsum(div, axis=0) * g.ip
+
+
+def _wflx2(c, n):
+    w = _wflx(c, n)
+    return w * w
 
 
 def _bottom(extract):
@@ -227,6 +277,29 @@ FIELD_REGISTRY: Dict[str, Tuple[str, Callable]] = {
     'sssga': ('scalar', lambda c, n: jnp.sum(
         c.s.saln[n][0] * c.g.scp2 * c.g.ip)
         / jnp.maximum(jnp.sum(c.g.scp2 * c.g.ip), 1e-30)),
+    # ---- sea ice (H2D_FICE/HICE/HSNW/TICE/TSRF/IAGE) ----
+    'fice': ('2d', _si('ficem')),
+    'hice': ('2d', _si('hicem')),
+    'hsnw': ('2d', _si('hsnwm')),
+    'tice': ('2d', _si('ticem')),
+    'tsrf': ('2d', _si('tsrfm')),
+    'iage': ('2d', _si('iagem')),
+    # ---- shortwave absorption profile (H2D_SWFC1/2, SWAL1/2) ----
+    'swfc1': ('2d', _swabs('swfc1')),
+    'swfc2': ('2d', _swabs('swfc2')),
+    'swal1': ('2d', _swabs('swal1')),
+    'swal2': ('2d', _swabs('swal2')),
+    # ---- vertical mixing coefficients (LYR_DIFV*) ----
+    'difvho': ('3d', _dfl('difvho')),
+    'difvso': ('3d', _dfl('difvso')),
+    'difvmo': ('3d', _dfl('difvmo')),
+    # ---- named tracers (LYR_TKE/GLS/IDLAGE) ----
+    'tke': ('3d', _trc_by_index('itrtke')),
+    'gls': ('3d', _trc_by_index('itrgls')),
+    'idlage': ('3d', _trc_by_index('itriag')),
+    # ---- diagnosed vertical mass flux (LYR_WFLX/WFLX2) ----
+    'wflx': ('3d', _wflx),
+    'wflx2': ('3d', _wflx2),
 }
 
 
@@ -244,7 +317,8 @@ def _zlv(extract):
 for _name in ('temp', 'saln', 'uvel', 'vvel', 'uflx', 'vflx', 'utflx',
               'vtflx', 'usflx', 'vsflx', 'bfsq', 'difint', 'difiso',
               'difdia', 'dz', 'pv', 'umfltd', 'vmfltd', 'umflsm',
-              'vmflsm'):
+              'vmflsm', 'difvho', 'difvso', 'difvmo', 'tke', 'gls',
+              'idlage', 'wflx', 'wflx2'):
     _dims, _fn = FIELD_REGISTRY[_name]
     FIELD_REGISTRY[_name + 'lvl'] = ('zlv', _zlv(_fn))
 del _name, _dims, _fn
@@ -278,9 +352,9 @@ def _norm_fields(fields):
 
 
 def init_group(grid: Grid, state: State, fields, dtype=jnp.float64,
-               forcing=None, dfl=None):
+               forcing=None, dfl=None, si=None, swabs=None, tridx=None):
     fields = _norm_fields(fields)
-    c = DiaCtx(grid, state, forcing, dfl)
+    c = DiaCtx(grid, state, forcing, dfl, si, swabs, tridx)
     acc = {}
     for name, op in fields:
         dims, fn = FIELD_REGISTRY[name]
@@ -295,10 +369,11 @@ def init_group(grid: Grid, state: State, fields, dtype=jnp.float64,
 
 
 def accumulate(grid: Grid, group: DiaGroup, s: State, n: int,
-               forcing=None, dfl=None) -> DiaGroup:
+               forcing=None, dfl=None, si=None, swabs=None,
+               tridx=None) -> DiaGroup:
     """Add the current state to the running accumulators (diaacc,
     mod_dia.F90:1097-2200; op semantics of the ACC_* encoding)."""
-    c = DiaCtx(grid, s, forcing, dfl)
+    c = DiaCtx(grid, s, forcing, dfl, si, swabs, tridx)
     acc = dict(group.acc)
     for name, op in group.fields:
         dims, fn = FIELD_REGISTRY[name]

@@ -386,6 +386,89 @@ def integrate_to(rc: Recon, pq):
     return acc
 
 
+def remap_groups(groups):
+    """Fused multi-field remap: one `lax.scan` over source layers for
+    several (reconstructions, destination-grid) groups at once.
+
+    groups: list of (rc_list, p_dst) where all Recons in rc_list share
+    the same source grid rc.p, and every group has the same number of
+    source layers.  Returns a list of lists of destination means,
+    matching the group/tracer structure.
+
+    Equivalent to calling remap_means per tracer (same reference
+    semantics: exact piecewise-polynomial integration, point values for
+    vanishing destination layers — remap, mod_hor3map.F90:4723-4790),
+    but the per-layer geometry work (interface positions, clipped
+    coordinates) is computed once per group and the ~4 scans per ALE
+    step fuse into one, which roughly halves the remap cost on TPU
+    (the op is VPU-compute-bound; carry overhead of separate scans is
+    the other loss)."""
+    import jax
+
+    prep = []
+    for rc_list, p_dst in groups:
+        p = rc_list[0].p
+        dx = jnp.maximum(p[1:] - p[:-1], 0.)
+        coeffs = []
+        for rc in rc_list:
+            c3 = jnp.zeros_like(rc.c2) if rc.c3 is None else rc.c3
+            c4 = jnp.zeros_like(rc.c2) if rc.c4 is None else rc.c4
+            coeffs.append((rc.c0, rc.c1, rc.c2, c3, c4))
+        prep.append((p, dx, coeffs, p_dst))
+
+    xs = tuple((p[:-1], dx) + tuple(c for cs in coeffs for c in cs)
+               for p, dx, coeffs, _ in prep)
+    pqs = tuple(p_dst for _, _, _, p_dst in prep)
+
+    def init_group(g):
+        _, _, coeffs, p_dst = prep[g]
+        z = jnp.zeros(p_dst.shape, p_dst.dtype)
+        return (tuple(z for _ in coeffs), tuple(z for _ in coeffs),
+                jnp.zeros(p_dst.shape, bool))
+
+    def body(carry, xs_k):
+        new_carry = []
+        for g, xg in enumerate(xs_k):
+            accs, points, found = carry[g]
+            p_up, dxk = xg[0], xg[1]
+            pq = pqs[g]
+            dxik = 1.0 / jnp.maximum(dxk, heps)
+            x = jnp.clip((pq - p_up[None]) * dxik[None], 0., 1.)
+            x2 = x * x
+            inl = (pq >= p_up[None]) & (pq <= (p_up + dxk)[None]) \
+                & (dxk[None] > heps) & (~found)
+            accs2, points2 = [], []
+            for t in range(len(accs)):
+                c0, c1, c2, c3, c4 = xg[2 + 5 * t: 7 + 5 * t]
+                acc = accs[t] + dxk[None] * (
+                    c0[None] * x + .5 * c1[None] * x2
+                    + (1. / 3.) * c2[None] * x2 * x
+                    + .25 * c3[None] * x2 * x2
+                    + .2 * c4[None] * x2 * x2 * x)
+                fval = (c0[None] + c1[None] * x + c2[None] * x2
+                        + c3[None] * x2 * x + c4[None] * x2 * x2)
+                points2.append(jnp.where(inl, fval, points[t]))
+                accs2.append(acc)
+            new_carry.append((tuple(accs2), tuple(points2), found | inl))
+        return tuple(new_carry), None
+
+    init = tuple(init_group(g) for g in range(len(prep)))
+    final, _ = jax.lax.scan(body, init, xs, unroll=8)
+
+    out = []
+    for g, (accs, points, found) in enumerate(final):
+        p_dst = prep[g][3]
+        dpd = p_dst[1:] - p_dst[:-1]
+        dpdi = 1.0 / jnp.maximum(dpd, heps)
+        means_g = []
+        for acc, point in zip(accs, points):
+            means = (acc[1:] - acc[:-1]) * dpdi
+            point_l = jnp.where(found[:-1], point[:-1], means)
+            means_g.append(jnp.where(dpd > heps, means, point_l))
+        out.append(means_g)
+    return out
+
+
 def remap_means(rc: Recon, p_dst):
     """Destination layer means: (I(p_dst[k+1]) - I(p_dst[k])) / dp_dst
     (the reference's remap, piecewise integration).  Zero-thickness

@@ -1,6 +1,6 @@
 """hor3map reconstruction/remap property tests.
 
-Properties the reference's design guarantees (mod_hor3map.F90):
+Properties the reference's design guarantees (mod_h3.F90):
 conservation under remapping, exactness for linear profiles, and
 monotonicity under limiting — tested here as unit tests the reference
 itself lacks (SURVEY.md section 4)."""
@@ -86,3 +86,40 @@ def test_interface_evals():
     np.testing.assert_allclose(np.asarray(rc.eval0()), np.asarray(rc.c0))
     np.testing.assert_allclose(np.asarray(rc.eval1()),
                                np.asarray(rc.c0 + rc.c1 + rc.c2))
+
+
+def test_remap_groups_matches_remap_means():
+    """remap_groups (fused multi-field scan) must be exactly equivalent
+    to per-tracer remap_means."""
+    import numpy as np
+    rng = np.random.default_rng(21)
+    kk, H = 9, (5,)
+    hsrc = rng.uniform(.3, 2., (kk,) + H)
+    p = jnp.asarray(np.concatenate([np.zeros((1,) + H),
+                                    np.cumsum(hsrc, 0)], 0))
+    hdst = rng.uniform(0., 2., (kk,) + H)
+    hdst[rng.uniform(size=(kk,) + H) < .2] = 0.
+    pd = np.concatenate([np.zeros((1,) + H), np.cumsum(hdst, 0)], 0)
+    pd *= np.asarray(p)[-1] / np.maximum(pd[-1], 1e-12)
+    pd = jnp.asarray(pd)
+
+    # second group: its own grids
+    hsrc2 = rng.uniform(.3, 2., (kk,) + H)
+    p2 = jnp.asarray(np.concatenate([np.zeros((1,) + H),
+                                     np.cumsum(hsrc2, 0)], 0))
+    pd2 = p2 * (1. + 0.05 * jnp.sin(jnp.arange(kk + 1))[:, None])
+
+    tms = [jnp.asarray(rng.normal(size=(kk,) + H)) for _ in range(3)]
+    rcs = [h3.ppm_ih4_reconstruct(p, tm) for tm in tms[:2]]
+    rc2 = h3.ppm_reconstruct(p2, tms[2])
+
+    got = h3.remap_groups([(rcs, pd), ([rc2], pd2)])
+    want0 = h3.remap_means(rcs[0], pd)
+    want1 = h3.remap_means(rcs[1], pd)
+    want2 = h3.remap_means(rc2, pd2)
+    np.testing.assert_allclose(np.asarray(got[0][0]), np.asarray(want0),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got[0][1]), np.asarray(want1),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got[1][0]), np.asarray(want2),
+                               rtol=1e-12, atol=1e-12)

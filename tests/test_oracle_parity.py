@@ -219,3 +219,73 @@ def test_p_alpha_series_vs_analytic_log():
         np.testing.assert_allclose(float(d),
                                    eo.delphi_analytic(p1, p2, th, s),
                                    rtol=1e-12)
+
+
+# ----------------------------------------------------------------- CPPM
+def test_cppm_fc_nosc_sweep_matches_oracle():
+    """Production vectorized CPPM fc_nosc sweep vs the loop-level
+    Fortran-transcribed oracle on random masked rows."""
+    from blom_tpu.dynamics import cppm
+    from oracles import cppm_oracle as co
+
+    rng = np.random.default_rng(13)
+    N = 24
+    for trial in range(6):
+        ipmask = np.ones(N, np.int32)
+        ipmask[0] = ipmask[-1] = 0
+        # a land gap to exercise partial stencils
+        g = rng.integers(5, N - 7)
+        ipmask[g] = 0
+        if trial % 2:
+            ipmask[g + 1] = 0
+
+        dx = rng.uniform(.5, 2., N) * 1e4
+        dp_row = rng.uniform(0., 3., N) * 1e4 * ipmask
+        ntr = 3
+        tm = rng.uniform(0., 20., (ntr, N)) * ipmask
+
+        # geometry: per-cell bottom pressure, layer top/bottom
+        pbot = rng.uniform(4., 8., N) * 1e4
+        du = rng.uniform(0., 2., N) * 1e4
+        dl = du + dp_row
+        db = np.zeros(N)
+        ca = np.zeros(N)
+        ai = 1.0 / (dx * dx)
+        iu = np.zeros(N)
+        for i in range(1, N):
+            iu[i] = ipmask[i - 1] * ipmask[i]
+            db[i] = min(pbot[i - 1], pbot[i])
+        # flux areas bounded by CFL-ish fraction of upstream cell area
+        ca = (rng.uniform(-1., 1., N) * .2 * dx * dx
+              * np.minimum(1., dp_row / 1e4)) * iu
+
+        dp_ref, tm_ref, hf_ref, htf_ref = co.sweep_fc_nosc(
+            ipmask, dx, dp_row, tm, ca, ai, db, du, dl)
+
+        import jax.numpy as jnp
+        coeffs = cppm.init_cppm_coeffs(ipmask[None], dx[None], axis=-1,
+                                       periodic=False)
+        sh = lambda a: jnp.asarray(a)[None, None]
+        hn, tm_new, hf, htf = cppm.cppm_sweep(
+            sh(dp_row), jnp.asarray(tm)[:, None, None], sh(ca), sh(db),
+            sh(du), sh(dl), sh(ai), coeffs, periodic=False,
+            compatibility='full', limiting='non_oscillatory')
+        dp_new = np.maximum(0., np.asarray(hn)[0, 0] - cppm.dpeps)
+        tm_got = np.asarray(tm_new)[:, 0, 0]
+        hf_got = np.asarray(hf)[0, 0]
+        htf_got = np.asarray(htf)[:, 0, 0]
+
+        wet = ipmask.astype(bool)
+        wetu = iu.astype(bool)
+        np.testing.assert_allclose(hf_got[wetu], hf_ref[wetu],
+                                   rtol=1e-9, atol=1e-9,
+                                   err_msg=f'hf trial {trial}')
+        np.testing.assert_allclose(htf_got[:, wetu], htf_ref[:, wetu],
+                                   rtol=1e-9, atol=1e-7,
+                                   err_msg=f'htf trial {trial}')
+        np.testing.assert_allclose(dp_new[wet], dp_ref[wet],
+                                   rtol=1e-9, atol=1e-9,
+                                   err_msg=f'dp trial {trial}')
+        np.testing.assert_allclose(tm_got[:, wet], tm_ref[:, wet],
+                                   rtol=1e-9, atol=1e-8,
+                                   err_msg=f'tm trial {trial}')
