@@ -58,16 +58,44 @@ class ImportFields(NamedTuple):
     ifrac: jax.Array     # Si_ifrac ice fraction
     pslv: jax.Array      # Sa_pslv sea-level pressure [Pa]
     duu10n: jax.Array    # So_duu10n 10-m wind speed squared [m2 s-2]
+    # glc runoff (Forr_rofl_glc/Forr_rofi_glc, :251-252) - summed into
+    # the liquid/frozen runoff
+    rofl_glc: jax.Array
+    rofi_glc: jax.Array
+    # wave coupling (Sw_*, :266-269)
+    lamult: jax.Array    # Langmuir enhancement factor []
+    ustokes: jax.Array   # surface Stokes drift [m s-1]
+    vstokes: jax.Array
+    hstokes: jax.Array   # Stokes depth scale [m]
+    # BGC-relevant atmosphere/ice fields (:244-288)
+    bcpho: jax.Array     # Fioi_bcpho hydrophobic black carbon from ice
+    bcphi: jax.Array     # Fioi_bcphi hydrophilic black carbon
+    flxdst: jax.Array    # Fioi_flxdst dust from ice [kg m-2 s-1]
+    ndep: jax.Array      # Faxa_ndep nitrogen deposition [kg N m-2 s-1]
+    co2prog: jax.Array   # Sa_co2prog prognostic atm CO2 [ppmv]
+    co2diag: jax.Array   # Sa_co2diag diagnostic atm CO2 [ppmv]
+
+N_IMPORTS = 30
 
 
 def zero_imports(shape, dtype=jnp.float64) -> ImportFields:
     z = jnp.zeros(tuple(shape), dtype)
-    return ImportFields(*([z] * 18))
+    one = jnp.ones(tuple(shape), dtype)
+    flds = [z] * 18 + [z, z, one, z, z, z] + [z] * 6
+    return ImportFields(*flds)
+
+
+# z-levels for the ocn->glc export profiles
+# (ocn_import_export.F90:73-89)
+NLEV_EXPORT = 30
+EXPORT_LEVELS = tuple(30. + 60. * i for i in range(NLEV_EXPORT))
+EXPORT_LEVEL_BNDS = tuple((60. * i, 60. * (i + 1))
+                          for i in range(NLEV_EXPORT))
 
 
 class ExportFields(NamedTuple):
     """Ocean -> coupler fields (fldsFrOcn,
-    ocn_import_export.F90:309-329)."""
+    ocn_import_export.F90:309-336)."""
     So_omask: jax.Array
     So_t: jax.Array       # surface temperature [K]
     So_s: jax.Array       # surface salinity
@@ -77,6 +105,13 @@ class ExportFields(NamedTuple):
     So_dhdy: jax.Array
     So_bldepth: jax.Array  # boundary-layer depth [m]
     Fioo_q: jax.Array     # freezing potential heat flux [W m-2]
+    # BGC outgassing fluxes (:320-330); zeros when BGC is off
+    Faoo_fco2_ocn: jax.Array   # CO2 flux [kg CO2 m-2 s-1]
+    Faoo_fdms_ocn: jax.Array   # DMS flux
+    Faoo_fbrf_ocn: jax.Array   # bromoform flux
+    # ocn->glc level profiles (:331-336), (NLEV_EXPORT, J, I)
+    So_t_depth: jax.Array
+    So_s_depth: jax.Array
 
 
 @jax.tree_util.register_dataclass
@@ -101,11 +136,16 @@ class CesmForcing:
     slp: jax.Array
     abswnd: jax.Array
     ficem: jax.Array
+    lamult: jax.Array
+    ustokes: jax.Array
+    vstokes: jax.Array
+    hstokes: jax.Array
 
 
 def init_cesm_forcing(shape, dtype=jnp.float64) -> CesmForcing:
     z = jnp.zeros((2,) + tuple(shape), dtype)
-    return CesmForcing(*([z] * 16))
+    one = jnp.ones((2,) + tuple(shape), dtype)
+    return CesmForcing(*([z] * 16 + [one, z, z, z]))
 
 
 def import_forcing(cf: CesmForcing, imp: ImportFields) -> CesmForcing:
@@ -123,12 +163,17 @@ def import_forcing(cf: CesmForcing, imp: ImportFields) -> CesmForcing:
         swa=put(cf.swa, imp.swnet), nsf=put(cf.nsf, nsf),
         hmlt=put(cf.hmlt, imp.melth), lip=put(cf.lip, imp.rain),
         sop=put(cf.sop, imp.snow), eva=put(cf.eva, imp.evap),
-        rnf=put(cf.rnf, imp.rofl), rfi=put(cf.rfi, imp.rofi),
+        rnf=put(cf.rnf, imp.rofl + imp.rofl_glc),
+        rfi=put(cf.rfi, imp.rofi + imp.rofi_glc),
         fmltfz=put(cf.fmltfz, imp.meltw), sfl=put(cf.sfl, imp.salt),
         ztx=put(cf.ztx, imp.taux), mty=put(cf.mty, imp.tauy),
         ustarw=put(cf.ustarw, ustarw), slp=put(cf.slp, imp.pslv),
         abswnd=put(cf.abswnd, jnp.sqrt(jnp.maximum(imp.duu10n, 0.))),
-        ficem=put(cf.ficem, imp.ifrac))
+        ficem=put(cf.ficem, imp.ifrac),
+        lamult=put(cf.lamult, imp.lamult),
+        ustokes=put(cf.ustokes, imp.ustokes),
+        vstokes=put(cf.vstokes, imp.vstokes),
+        hstokes=put(cf.hstokes, imp.hstokes))
 
 
 def getfrc_cesm(cf: CesmForcing, nstep_in_cpl: int, istep,
@@ -149,7 +194,7 @@ def getfrc_cesm(cf: CesmForcing, nstep_in_cpl: int, istep,
     return {k: blend(getattr(cf, k)) for k in
             ('swa', 'nsf', 'hmlt', 'lip', 'sop', 'eva', 'rnf', 'rfi',
              'fmltfz', 'sfl', 'ztx', 'mty', 'ustarw', 'slp', 'abswnd',
-             'ficem')}
+             'ficem', 'lamult', 'ustokes', 'vstokes', 'hstokes')}
 
 
 def thermf_cesm(grid: Grid, e: eos.EosParams, s: State, frc: dict,
@@ -201,8 +246,12 @@ def sfcstr_cesm(grid: Grid, frc: dict):
     return taux, tauy
 
 
+_SPVAL = 1.e30
+
+
 def ocn_export(grid: Grid, e: eos.EosParams, s: State, n: int,
-               frzpot, baclin: float) -> ExportFields:
+               frzpot, baclin: float,
+               bgc_fluxes: dict = None) -> ExportFields:
     """Fields handed back to the coupler (ocn_export,
     ocn_import_export.F90 / export_mct.F90)."""
     u_srf = .5 * (s.u[n, 0] + s.ub[n] + grid.ip1(s.u[n, 0] + s.ub[n]))
@@ -213,6 +262,20 @@ def ocn_export(grid: Grid, e: eos.EosParams, s: State, n: int,
         / (2. * grid.scpy)
     # boundary-layer depth proxy: depth of the top two layers
     bld = (s.dp[n, 0] + s.dp[n, 1]) / onem
+
+    # ocn->glc level profiles at the standard 30 levels
+    # (ocn_import_export.F90:73-89, acc_t_depth/acc_s_depth)
+    from ..core.state import cumulative_p
+    from ..io.merdia import to_zlev
+    import numpy as _np
+    bnds = _np.asarray(EXPORT_LEVEL_BNDS)
+    p_i = cumulative_p(s.dp[n]) * grid.ip
+    t_depth = to_zlev(s.temp[n], p_i, bnds=bnds, fill=_SPVAL)
+    s_depth = to_zlev(s.saln[n], p_i, bnds=bnds, fill=_SPVAL)
+
+    z2 = jnp.zeros_like(grid.ip)
+    if bgc_fluxes is None:
+        bgc_fluxes = {}
     return ExportFields(
         So_omask=grid.ip,
         So_t=(s.temp[n, 0] + T0DEG) * grid.ip,
@@ -220,7 +283,11 @@ def ocn_export(grid: Grid, e: eos.EosParams, s: State, n: int,
         So_u=u_srf * grid.ip, So_v=v_srf * grid.ip,
         So_dhdx=dhdx * grid.ip, So_dhdy=dhdy * grid.ip,
         So_bldepth=bld * grid.ip,
-        Fioo_q=frzpot / baclin * grid.ip)
+        Fioo_q=frzpot / baclin * grid.ip,
+        Faoo_fco2_ocn=bgc_fluxes.get('co2flux', z2) * grid.ip,
+        Faoo_fdms_ocn=bgc_fluxes.get('dmsflux', z2) * grid.ip,
+        Faoo_fbrf_ocn=bgc_fluxes.get('brfflux', z2) * grid.ip,
+        So_t_depth=t_depth, So_s_depth=s_depth)
 
 
 class OcnCap:
@@ -237,6 +304,17 @@ class OcnCap:
                                     model.state.dp.dtype)
         self.nstep = 0
         self.frzpot = jnp.zeros(model.grid.shape, model.state.dp.dtype)
+        self.bgc_fluxes = {}
+
+    def data_initialize(self) -> ExportFields:
+        """The cap's DataInitialize phase (ocn_comp_nuopc.F90:367-560):
+        export the initial ocean state to the mediator before the first
+        ModelAdvance so other components can spin up against it."""
+        model = self.model
+        n = 1 - (self.nstep % 2)
+        return ocn_export(model.grid, model.e, model.state, n,
+                          self.frzpot, model.par.baclin,
+                          self.bgc_fluxes)
 
     def advance(self, imp: ImportFields) -> ExportFields:
         from ..dynamics.step import blom_step
@@ -255,7 +333,8 @@ class OcnCap:
             forcing = dataclasses.replace(
                 model.forcing, taux=taux, tauy=tauy,
                 surflx=flx['surflx'], sswflx=flx['sswflx'],
-                salflx=flx['salflx'], brnflx=flx['brnflx'])
+                salflx=flx['salflx'], brnflx=flx['brnflx'],
+                lamult=frc['lamult'])
             delt1 = jnp.asarray(
                 model.par.baclin if self.nstep == 0
                 else 2. * model.par.baclin, s.pb.dtype)
@@ -269,4 +348,4 @@ class OcnCap:
         # newest time level = the n of the last executed step
         n = 1 - ((self.nstep - 1) % 2)
         return ocn_export(model.grid, model.e, s, n, self.frzpot,
-                          model.par.baclin)
+                          model.par.baclin, self.bgc_fluxes)

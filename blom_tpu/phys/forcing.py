@@ -37,6 +37,9 @@ class Forcing:
     # path (mod_momtum.F90:938-945 uses mu_nonloc differences).
     mu_nonloc: jax.Array
     mv_nonloc: jax.Array
+    # Langmuir enhancement factor from the wave coupler (Sw_lamult,
+    # mod_cesm.F90; 1 = no enhancement)
+    lamult: jax.Array
 
 
 def zero_forcing(kk: int, shape, dtype=jnp.float64) -> Forcing:
@@ -51,7 +54,8 @@ def zero_forcing(kk: int, shape, dtype=jnp.float64) -> Forcing:
     return Forcing(taux=z2, tauy=z2, surflx=z2, sswflx=z2, salflx=z2,
                    brnflx=z2, surrlx=z2, salrlx=z2,
                    sstclm=z2, sssclm=z2,
-                   mu_nonloc=mu, mv_nonloc=mu)
+                   mu_nonloc=mu, mv_nonloc=mu,
+                   lamult=jnp.ones(H, dtype))
 
 
 def fwbbal_accumulate(eiacc, pracc, eva, fmltfz, lip, sop, rnf, rfi,

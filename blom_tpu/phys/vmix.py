@@ -341,6 +341,8 @@ def difest_vertical_kpp(grid: Grid, e: eos.EosParams, s: State,
     p_i = cumulative_p(dp) * grid.ip
     Km_bl, Ks_bl, nl = kpp_boundary_layer(grid, hbl, ustar, bfsfc0,
                                           p_i)
+    if lamult is None and getattr(forcing, 'lamult', None) is not None:
+        lamult = forcing.lamult
     if lamult is not None:
         # Langmuir enhancement of the boundary-layer diffusivity
         # (CVMix Langmuir option consumed by difest_vertical_hybrid;

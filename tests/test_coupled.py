@@ -21,7 +21,10 @@ def _imports(shape, taux=.05, swnet=150., lat=-60., sen=-15.,
         taux=f(taux), tauy=z, swnet=f(swnet), lat=f(lat), sen=f(sen),
         lwup=f(lwup), lwdn=f(lwdn), rain=f(rain), snow=z,
         evap=f(-4e-5), rofl=z, rofi=z, melth=z, meltw=z, salt=z,
-        ifrac=z, pslv=f(101325.), duu10n=f(36.))
+        ifrac=z, pslv=f(101325.), duu10n=f(36.),
+        rofl_glc=z, rofi_glc=z, lamult=f(1.), ustokes=z, vstokes=z,
+        hstokes=z, bcpho=z, bcphi=z, flxdst=z, ndep=z, co2prog=z,
+        co2diag=z)
 
 
 def test_import_rotates_slots(model):
@@ -123,3 +126,59 @@ def test_noforcing_config(model):
     f = noforcing.sfcstr_noforcing(f)
     assert float(np.abs(np.asarray(f.taux)).max()) == 0.
     assert float(np.abs(np.asarray(f.surflx)).max()) == 0.
+
+
+def test_stream_interp_cyclic():
+    from blom_tpu.drivers import streams
+    rng = np.random.default_rng(3)
+    fields = rng.normal(size=(12, 4, 5))
+    st = streams.monthly_stream(fields, 2000, 2000, 1, nday_in_year=360.)
+    # mid-January record should be returned exactly at its mid-time
+    got = np.asarray(st.interp(1, 15.))
+    np.testing.assert_allclose(got, fields[0], rtol=1e-12)
+    # halfway between Jan and Feb
+    got = np.asarray(st.interp(1, 30.))
+    np.testing.assert_allclose(got, .5 * (fields[0] + fields[1]),
+                               rtol=1e-12)
+    # December -> January wrap (day 359 is 14/30 of the way from
+    # mid-December day 345 to mid-January day 15 of the next cycle)
+    got = np.asarray(st.interp(1, 359.))
+    w1 = (359. - 345.) / 30.
+    np.testing.assert_allclose(got, (1 - w1) * fields[11] + w1 * fields[0],
+                               rtol=1e-12)
+    # year cycling: model year 5 maps onto the single data year
+    got5 = np.asarray(st.interp(5, 15.))
+    np.testing.assert_allclose(got5, fields[0], rtol=1e-12)
+
+
+def test_swtfrz_options():
+    from blom_tpu.drivers.streams import swtfrz
+    s = jnp.asarray([0., 35.])
+    np.testing.assert_allclose(np.asarray(swtfrz(s, 'minus1p8')),
+                               [-1.8, -1.8])
+    np.testing.assert_allclose(np.asarray(swtfrz(s, 'linear_salt')),
+                               [0., -0.0544 * 35.], rtol=1e-12)
+    mush = np.asarray(swtfrz(s, 'mushy'))
+    assert mush[0] == 0. and -2.5 < mush[1] < -1.5
+
+
+def test_cap_export_profiles_and_data_init(model):
+    """The upgraded cap exports level profiles and supports the
+    DataInitialize phase (ocn_comp_nuopc.F90:367-560)."""
+    from blom_tpu.drivers import coupled
+    cap = coupled.OcnCap(model, nstep_in_cpl=2)
+    exp0 = cap.data_initialize()
+    assert exp0.So_t_depth.shape[0] == coupled.NLEV_EXPORT
+    ip = np.asarray(model.grid.ip) > 0
+    t0 = np.asarray(exp0.So_t_depth[0])[ip]
+    assert np.isfinite(t0).all()
+    # surface-level export matches SST where the top bin is wet
+    sst = np.asarray(model.state.temp[1][0])[ip]
+    assert abs(t0.mean() - sst.mean()) < 2.0
+    # BGC export fields default to zeros
+    assert float(jnp.sum(jnp.abs(exp0.Faoo_fco2_ocn))) == 0.
+
+    imp = coupled.zero_imports(model.grid.shape, model.state.dp.dtype)
+    exp1 = cap.advance(imp)
+    assert np.isfinite(np.asarray(exp1.So_t)[ip]).all()
+    assert np.isfinite(np.asarray(exp1.So_t_depth[0])[ip]).all()
