@@ -84,14 +84,13 @@ def advect(grid: Grid, s: State, dfl: DiffusionFields,
         return hn, tmn, hf, htf
 
     def sweep_j(h, tm, second):
-        # run the same 1-D kernel with i<->j swapped (mod_cppm.F90's
-        # *_j kernels operate on permuted (j, i) arrays, :2731-2744).
+        # the same 1-D kernel running along the j axis in natural
+        # layout (cppm_sweep(ax=-2)) — the reference's *_j kernels
+        # permute (j, i); here the axis-generic shifts make permuting
+        # (and its 12 full-array transposes per step) unnecessary.
         # On tripolar grids the sweep domain is extended by fold ghost
         # rows so the stencil reads across the bipolar seam (the
         # reference's (0,3) halo update, mod_cppm.F90:1956-1960).
-        def T(a):
-            return jnp.swapaxes(a, -1, -2)
-
         if grid.arctic:
             from ..parallel.arctic import fold_row
             from .cppm import NGHOST_ARCTIC
@@ -107,15 +106,16 @@ def advect(grid: Grid, s: State, dfl: DiffusionFields,
         jdm = h.shape[-2]
         div = None
         if second:
-            div = T(ext(grid.ip1(cau) - cau, 'p'))
+            div = ext(grid.ip1(cau) - cau, 'p')
         hn, tmn, hf, htf = cppm_sweep(
-            T(ext(h, 'p')), T(ext(tm, 'p')), T(ext(cav, 'v', True)),
-            T(ext(s.pbv[n], 'v')), T(ext(p[:-1], 'p')),
-            T(ext(p[1:], 'p')), T(ext(grid.scp2i, 'p')), coeffs_j,
+            ext(h, 'p'), ext(tm, 'p'), ext(cav, 'v', True),
+            ext(s.pbv[n], 'v'), ext(p[:-1], 'p'),
+            ext(p[1:], 'p'), ext(grid.scp2i, 'p'), coeffs_j,
             grid.periodic_j, div_corr=div,
-            compatibility=cppm_compatibility, limiting=cppm_limiting)
-        return (T(hn)[..., :jdm, :], T(tmn)[..., :jdm, :],
-                T(hf)[..., :jdm, :], T(htf)[..., :jdm, :])
+            compatibility=cppm_compatibility, limiting=cppm_limiting,
+            ax=-2)
+        return (hn[..., :jdm, :], tmn[..., :jdm, :],
+                hf[..., :jdm, :], htf[..., :jdm, :])
 
     if i_first:
         h1, tm1, hfu, htfu = sweep_i(h, tm, False)

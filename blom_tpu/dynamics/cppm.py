@@ -205,7 +205,9 @@ def init_cppm_coeffs(ip_np: np.ndarray, dx_np: np.ndarray, axis: int,
     """Build sweep coefficients for a direction (init_cppm,
     mod_cppm.F90:2504-2746).  `ip_np` and `dx_np` are (jdm, idm); `axis`
     is the sweep axis (-1: i, -2: j).  Returned arrays have the sweep
-    axis LAST (for -2, arrays are transposed).
+    axis LAST for axis=-1; for axis=-2 they are returned in NATURAL
+    (j, i) layout and the sweep runs along the j axis in place (no
+    transposes of the 3-D state).
 
     With `arctic` (j-sweep on a tripolar grid) the domain is extended by
     NGHOST_ARCTIC fold ghost rows (p-grid mirror: ghost jj+1+m =
@@ -271,20 +273,57 @@ def init_cppm_coeffs(ip_np: np.ndarray, dx_np: np.ndarray, axis: int,
                    0.0)
     d2m = np.where(wet3, 1.0, 0.0)
 
-    asj = lambda a: jnp.asarray(a, dtype)
-    return CppmCoeffs(stencil=jnp.asarray(stencil), hevc=asj(hevc),
+    if axis == -2:
+        # back to natural (j, i) layout; the sweep reads along axis -2
+        stencil = stencil.T
+        hevc = hevc.swapaxes(-1, -2)
+        tmc0 = tmc0.swapaxes(-1, -2)
+        tmcl = tmcl.swapaxes(-1, -2)
+        tmcr = tmcr.swapaxes(-1, -2)
+        ssc = ssc.T
+        scc = scc.T
+        d2m = d2m.T
+
+    asj = lambda a: jnp.asarray(np.ascontiguousarray(a), dtype)
+    return CppmCoeffs(stencil=jnp.asarray(np.ascontiguousarray(stencil)),
+                      hevc=asj(hevc),
                       ssc=asj(ssc), scc=asj(scc), d2m=asj(d2m),
                       tmc0=asj(tmc0), tmcl=asj(tmcl), tmcr=asj(tmcr))
 
 
+_SWEEP_AXIS = -1   # sweep axis for _sh; set by cppm_sweep(ax=...)
+
+
+class _axis:
+    """Trace-time sweep-axis context: lets the same 1-D kernel run
+    along i (last axis) or j (second-to-last) without transposing the
+    fields — transposes of the (k, j, i) state cost more on TPU than
+    the sweep itself."""
+
+    def __init__(self, ax):
+        self.ax = ax
+
+    def __enter__(self):
+        global _SWEEP_AXIS
+        self.old = _SWEEP_AXIS
+        _SWEEP_AXIS = self.ax
+
+    def __exit__(self, *exc):
+        global _SWEEP_AXIS
+        _SWEEP_AXIS = self.old
+
+
 def _sh(a, off, periodic):
-    """Value at (idx + off) along the last axis."""
-    out = jnp.roll(a, -off, axis=-1)
+    """Value at (idx + off) along the sweep axis."""
+    ax = _SWEEP_AXIS
+    out = jnp.roll(a, -off, axis=ax)
     if not periodic:
-        n = a.shape[-1]
+        n = a.shape[ax]
         idx = jnp.arange(n)
         valid = (idx + off >= 0) & (idx + off < n)
-        out = jnp.where(valid, out, 0.0)
+        shape = [1] * a.ndim
+        shape[ax] = n
+        out = jnp.where(valid.reshape(shape), out, 0.0)
     return out
 
 
@@ -792,7 +831,7 @@ def _flux_integration(ca, ai, db, du, dl, hpc, tpc, periodic):
 def cppm_sweep(hm_in, tm, ca, db, du, dl, ai, co: CppmCoeffs,
                periodic: bool, div_corr=None,
                compatibility: str = 'full',
-               limiting: str = 'non_oscillatory'):
+               limiting: str = 'non_oscillatory', ax: int = -1):
     """One 1-D CPPM transport sweep along the last axis
     (cppm_{fc,pc}_{nosc,mono}_i, mod_cppm.F90:1470-2498; kernel
     selection per the cppm namelist options, :2748-2834).
@@ -805,6 +844,14 @@ def cppm_sweep(hm_in, tm, ca, db, du, dl, ai, co: CppmCoeffs,
 
     Returns (h_new_raw, tm_new, hf, htf): h_new_raw = ho - div(hf)*ai
     (before the dp clamp), updated tracers, and the edge fluxes."""
+    with _axis(ax):
+        return _cppm_sweep_body(hm_in, tm, ca, db, du, dl, ai, co,
+                                periodic, div_corr, compatibility,
+                                limiting)
+
+
+def _cppm_sweep_body(hm_in, tm, ca, db, du, dl, ai, co, periodic,
+                     div_corr, compatibility, limiting):
     ho = jnp.maximum(0., hm_in) + dpeps
     hm = ho
     if div_corr is not None:

@@ -31,7 +31,7 @@ def _sharded_model(itdm=64, jtdm=32, kdm=6):
         'forcing': pmesh.shard_pytree(model.forcing, mesh),
         'dfl': pmesh.shard_pytree(model.dfl, mesh),
         'ci': pmesh.shard_pytree(model.coeffs_i, mesh),
-        'cj': pmesh.shard_pytree(model.coeffs_j, mesh, transposed=True),
+        'cj': pmesh.shard_pytree(model.coeffs_j, mesh),
         'swabs': pmesh.shard_pytree(model.swabs, mesh),
     }
     return model, mesh, sh

@@ -42,7 +42,7 @@ def test_single_vs_8device_mesh():
     forcing_s = pmesh.shard_pytree(model.forcing, mesh)
     dfl_s = pmesh.shard_pytree(model.dfl, mesh)
     ci_s = pmesh.shard_pytree(model.coeffs_i, mesh)
-    cj_s = pmesh.shard_pytree(model.coeffs_j, mesh, transposed=True)
+    cj_s = pmesh.shard_pytree(model.coeffs_j, mesh)
     swabs_s = pmesh.shard_pytree(model.swabs, mesh)
     out8 = jax.jit(steps)(grid_s, ci_s, cj_s, state_s, forcing_s, dfl_s,
                           swabs_s)
@@ -105,3 +105,81 @@ def test_budget_sums_bitwise_sharding_invariant():
     assert float(b1.mass) == float(b8.mass)
     assert float(b1.heat) == float(b8.heat)
     assert float(b1.salt) == float(b8.salt)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_multi_step_scan_sharded_with_gm():
+    """A 2-step jitted scan with the full production physics (EG
+    diffusivity + GM + isopycnal diffusion enabled) agrees between 1
+    device and the 8-device mesh — the bench-path configuration, not
+    just single steps.
+
+    Tolerance note: per-element ULP differences between the sharded and
+    unsharded XLA programs (different fusion/FMA formation — no
+    collectives are involved; fixed-order repsum covers the true global
+    reductions) flip near-tie branches in the GM/difest path and are
+    amplified by the unstable fuk95 front (measured: 2.5e-10 relative
+    after 2 steps, 1.8e-4 after 4, 2.5e-3 after 10).  Two steps keeps
+    the comparison meaningful at 1e-8 relative; the reference avoids
+    this class of difference only because its per-PE arithmetic is
+    literally the same instructions regardless of decomposition."""
+    from blom_tpu.dynamics.difest import DifestParams
+    from blom_tpu.dynamics.step import make_two_step
+
+    model = standalone.build_fuk95(itdm=64, jtdm=32, kdm=6)
+    model.par = model.par._replace(
+        difest=DifestParams(egc=.85, egmndf=100.))
+
+    two = make_two_step(model.grid, model.e, model.par,
+                        model.coeffs_i, model.coeffs_j, model.forcing,
+                        model.dfl, model.swabs)
+    d2 = jnp.full((1,), 2. * model.par.baclin)
+
+    @jax.jit
+    def run(s, dfl):
+        (s, dfl), _ = jax.lax.scan(two, (s, dfl), (d2, d2))
+        return s
+
+    out1 = run(model.state, model.dfl)
+
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    s_s = pmesh.shard_pytree(model.state, mesh)
+    dfl_s = pmesh.shard_pytree(model.dfl, mesh)
+    out8 = run(s_s, dfl_s)
+
+    for name in ('dp', 'temp', 'saln', 'u', 'v', 'pb'):
+        a = np.asarray(getattr(out1, name))
+        b = np.asarray(getattr(out8, name))
+        scale = 2e5 if name in ('dp', 'pb') else 1.0
+        np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-8 * scale,
+                                   err_msg=name)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_barotp_heavy_sharded():
+    """A barotropic-solver-heavy configuration (large lstep => many
+    substeps with halo exchanges per baroclinic step) stays
+    sharding-invariant."""
+    model = standalone.build_fuk95(itdm=64, jtdm=32, kdm=4)
+    model.par = model.par._replace(lstep=64)
+
+    def steps(s, dfl):
+        d = jnp.asarray(model.par.baclin, s.pb.dtype)
+        s, dfl = blom_step(model.grid, model.e, model.par,
+                           model.coeffs_i, model.coeffs_j, s,
+                           model.forcing, dfl, 0, 1, d, model.swabs)
+        s, dfl = blom_step(model.grid, model.e, model.par,
+                           model.coeffs_i, model.coeffs_j, s,
+                           model.forcing, dfl, 1, 0, 2 * d, model.swabs)
+        return s
+
+    out1 = jax.jit(steps)(model.state, model.dfl)
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    out8 = jax.jit(steps)(pmesh.shard_pytree(model.state, mesh),
+                          pmesh.shard_pytree(model.dfl, mesh))
+    for name in ('ub', 'vb', 'pb', 'ubflxs_p', 'pb_p'):
+        a = np.asarray(getattr(out1, name))
+        b = np.asarray(getattr(out8, name))
+        scale = 2e5 if 'pb' in name else 1e6
+        np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-8 * scale,
+                                   err_msg=name)

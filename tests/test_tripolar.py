@@ -48,7 +48,9 @@ def test_fold_symmetry_preserved_without_sync(model, monkeypatch):
     s, clock = standalone.run(m, 4)
     assert np.isfinite(np.asarray(s.dp)).all()
     err = _sym_err(s)
-    assert max(err.values()) < 1e-9, err
+    # bound is f64 roundoff on ~1e5-magnitude fields (relative ~1e-12);
+    # a fold-logic break shows up as O(1) asymmetry
+    assert max(err.values()) < 1e-6, err
     # the blob must actually move: the run is not a no-op
     assert float(np.max(np.abs(np.asarray(s.v[0])))) > 0.
 
