@@ -100,6 +100,9 @@ class RunConfig:
     idate0: int = 20000101
     runid: str = 'BLOM_run'
     expcnf: str = 'fuk95'
+    grfile: str = ''               # grid NetCDF (GRFILE)
+    icfile: str = ''               # initial-condition climatology (ICFILE)
+    kdm: int = 53                  # layers for grid-file configs
     pref: float = 0.               # reference pressure [Pa]
     baclin: float = 180.           # baroclinic dt [s]
     batrop: float = 6.             # barotropic dt [s]

@@ -45,9 +45,19 @@ def build_case(limits_path: str = None, cfg: RunConfig = None):
         model = standalone.build_single_column(dtype=dtype,
                                                baclin=cfg.baclin,
                                                batrop=cfg.batrop)
+    elif cfg.expcnf in ('ben02clim', 'ben02syn', 'cesm'):
+        # production grid-file configurations (mod_rdlim.F90 GRFILE/
+        # ICFILE; mod_inigeo + mod_inicon dispatch)
+        if not cfg.grfile:
+            raise ValueError(
+                f'expcnf {cfg.expcnf!r} requires GRFILE in the deck')
+        model = standalone.build_gridfile(
+            cfg.grfile, kdm=cfg.kdm, baclin=cfg.baclin,
+            batrop=cfg.batrop, expcnf=cfg.expcnf,
+            icfile=cfg.icfile or None, dtype=dtype, pref=cfg.pref,
+            cwmod=cfg.cwmod, idate=cfg.idate, idate0=cfg.idate0)
     else:
-        raise ValueError(f'expcnf {cfg.expcnf!r} needs a grid file; '
-                         'use geoenv_file + init_state directly')
+        raise ValueError(f'unsupported expcnf {cfg.expcnf!r}')
 
     model.par = model.par._replace(
         momtum=MomtumParams(

@@ -124,6 +124,86 @@ def build_fuk95(dtype=jnp.float64, itdm=None, jtdm=None, kdm=None,
                  bgc_forcing=bgc_forcing)
 
 
+def build_gridfile(grfile: str, kdm: int, baclin: float,
+                   batrop: float, expcnf: str = 'ben02clim',
+                   icfile: str = None, dtype=jnp.float64,
+                   pref: float = 2000.e4, cwmod=(), arctic: bool = False,
+                   idate: int = 20000101, idate0: int = None,
+                   use_idlage: bool = False) -> Model:
+    """Generic grid-file experiment builder: the expcnf dispatch branch
+    for production configurations (ben02clim/ben02syn/cesm on tnx*-class
+    grids; mod_inigeo + mod_inicon, mod_rdlim.F90:137-250).
+
+    grfile: BLOM-convention grid NetCDF (mod_geoenv.F90:45-884);
+    icfile: optional WOA-style z-level T/S climatology with variables
+    t_an/s_an (k, j, i on the model grid) and depth_bnds (k, 2) —
+    absent, a horizontally uniform stably stratified profile is used.
+    Forcing starts at zero: ben02 bulk forcing or the coupled cap
+    supplies it per step (phys/ben02.py, drivers/coupled.py)."""
+    from ..core.geoenv import geoenv_file
+    from ..core.inicon import inicon_woa
+    from ..dynamics.ale import make_ale_params
+
+    clock = modeltime.init_timevars(expcnf, baclin, batrop,
+                                    idate, idate0 or idate)
+    grid = geoenv_file(grfile, kk=kdm, baclin=baclin,
+                       periodic_i=True, arctic=arctic, dtype=dtype,
+                       cwmod=cwmod)
+    e = eos.init_eos(pref=pref, expcnf=expcnf)
+
+    jj, ii = grid.shape
+    if icfile is not None:
+        from scipy.io import netcdf_file
+        with netcdf_file(icfile, 'r', mmap=False) as nc:
+            t_src = np.array(nc.variables['t_an'][:], np.float64)
+            s_src = np.array(nc.variables['s_an'][:], np.float64)
+            bnds = np.array(nc.variables['depth_bnds'][:], np.float64)
+        if t_src.ndim == 4:
+            t_src, s_src = t_src[0], s_src[0]
+    else:
+        ksrc = 30
+        zc = np.linspace(25., 4000., ksrc)
+        dz = np.gradient(zc)
+        bnds = np.stack([zc - .5 * dz, zc + .5 * dz], 1)
+        t_src = np.broadcast_to(
+            (2. + 18. * np.exp(-zc / 700.))[:, None, None],
+            (ksrc, jj, ii)).copy()
+        s_src = np.broadcast_to(
+            (34.2 + .8 * (1. - np.exp(-zc / 1000.)))[:, None, None],
+            (ksrc, jj, ii)).copy()
+    temp, saln, sigmar, phi = inicon_woa(grid, e, t_src, s_src, bnds)
+
+    ntr = 1 if use_idlage else 0
+    state = init.init_state(
+        grid, e, phi=phi, temp=temp, saln=saln, sigmar=sigmar,
+        delt1=baclin, dlt=clock.dlt, dtype=dtype, ntr=ntr)
+
+    par = StepParams(
+        baclin=baclin, lstep=clock.lstep, dlt=clock.dlt,
+        momtum=MomtumParams(vsc2hi=.2, vsc2lo=.2, cbar=.05, cb=.002,
+                            mommth='enscon'),
+        barotp=BarotpParams(cwbdts=5.e-5, cwbdls=25., mommth='enscon'),
+        pgfmth='dynamic enthalpy',
+        vcoord_isopyc=False,
+        ale=make_ale_params(kdm),
+        itriag=0 if use_idlage else -1)
+
+    coeffs_i = cppm_mod.init_cppm_coeffs(
+        np.asarray(grid.ip), np.asarray(grid.scpx), axis=-1,
+        periodic=grid.periodic_i, dtype=dtype)
+    coeffs_j = cppm_mod.init_cppm_coeffs(
+        np.asarray(grid.ip), np.asarray(grid.scpy), axis=-2,
+        periodic=grid.periodic_j, dtype=dtype, arctic=grid.arctic)
+
+    forcing = zero_forcing(kdm, grid.shape, dtype)
+    dfl = zero_diffusion_fields(kdm, grid.shape, dtype)
+    swabs = init_swabs(grid.shape, 'jerlov', 3, dtype)
+
+    return Model(grid=grid, e=e, par=par, coeffs_i=coeffs_i,
+                 coeffs_j=coeffs_j, clock=clock, state=state,
+                 forcing=forcing, dfl=dfl, swabs=swabs)
+
+
 def run(model: Model, nsteps: int, dia_group=None, cnsvdi: bool = False,
         chk: bool = False):
     """Integrate `nsteps` baroclinic steps from the current clock.

@@ -135,16 +135,15 @@ def local_shifts() -> Shifts:
                   jp1v=sh(1, -2), jp1q=sh(1, -2))
 
 
-def make_substep(fld, sh: Shifts, lstep: int, dlt, par: BarotpParams):
-    """Build the per-substep update closure over a field bundle
-    (mod_barotp.F90:360-838)."""
-    im1, ip1, jm1 = sh.im1, sh.ip1, sh.jm1
-    jp1v, jp1q = sh.jp1v, sh.jp1q
+def substep_weights(lstep: int):
+    """Per-substep PGF time-interpolation weight schedule
+    (mod_barotp.F90:328-358): block nb=1 ramps the old level out, blocks
+    2-3 ramp the new level in (coefficients set at block 2 persist into
+    block 3, with lll0 = 1 + lstep/2 at block 2), blocks 4-5 use the new
+    level only.  Returns weights(nb, lll) -> (wo, wm, wn)."""
     half = lstep // 2
 
     def weights(nb, lll):
-        """Per-substep PGF time-interpolation weights
-        (mod_barotp.F90:328-358)."""
         if nb == 1:
             woa, wob = -1. / lstep, .5 + .5 / lstep
             wna, wnb = 0., 0.
@@ -158,6 +157,16 @@ def make_substep(fld, sh: Shifts, lstep: int, dlt, par: BarotpParams):
         wn = wna * lll + wnb
         wm = 1. - wo - wn
         return wo, wm, wn
+
+    return weights
+
+
+def make_substep(fld, sh: Shifts, lstep: int, dlt, par: BarotpParams):
+    """Build the per-substep update closure over a field bundle
+    (mod_barotp.F90:360-838)."""
+    im1, ip1, jm1 = sh.im1, sh.ip1, sh.jm1
+    jp1v, jp1q = sh.jp1v, sh.jp1q
+    weights = substep_weights(lstep)
 
     def pgf_terms_u(wo, wm, wn, pb_nl):
         pbw = im1(pb_nl)

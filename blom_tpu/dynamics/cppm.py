@@ -314,17 +314,31 @@ class _axis:
 
 
 def _sh(a, off, periodic):
-    """Value at (idx + off) along the sweep axis."""
+    """Value at (idx + off) along the sweep axis.
+
+    Non-periodic shifts use static slice + zero padding rather than
+    jnp.roll: rolls along the second-to-last (sublane) axis cost
+    minutes of TPU compile time, while pad+slice compiles instantly
+    and lowers to the same data movement."""
     ax = _SWEEP_AXIS
-    out = jnp.roll(a, -off, axis=ax)
-    if not periodic:
-        n = a.shape[ax]
-        idx = jnp.arange(n)
-        valid = (idx + off >= 0) & (idx + off < n)
-        shape = [1] * a.ndim
-        shape[ax] = n
-        out = jnp.where(valid.reshape(shape), out, 0.0)
-    return out
+    if off == 0:
+        return a
+    n = a.shape[ax]
+    if periodic:
+        out = jnp.roll(a, -off, axis=ax)
+        return out
+
+    def take(lo, hi):
+        idx = [slice(None)] * a.ndim
+        idx[ax] = slice(lo, hi)
+        return a[tuple(idx)]
+
+    pad_shape = list(a.shape)
+    pad_shape[ax] = abs(off)
+    zeros = jnp.zeros(pad_shape, a.dtype)
+    if off > 0:
+        return jnp.concatenate([take(off, n), zeros], axis=ax)
+    return jnp.concatenate([zeros, take(0, n + off)], axis=ax)
 
 
 def _minmod3(sl, sr, sc):

@@ -33,6 +33,9 @@ class DiffusionFields:
     difvho: jax.Array   # (K, H) vertical heat diffusivity [m2 s-1]
     difvso: jax.Array   # (K, H) vertical salt diffusivity [m2 s-1]
     difvmo: jax.Array   # (K, H) vertical momentum viscosity [m2 s-1]
+    # bulk mixed layer TKE budget terms [m3 s-3] (mod_mxlayr.F90
+    # mtkeus/mtkeni/mtkebf/mtkers/mtkepe/mtkeke; H2D_MTKE* diagnostics)
+    mtke: jax.Array     # (6, H): us, ni, bf, rs, pe, ke
 
 
 def zero_diffusion_fields(kk: int, shape, dtype=jnp.float64):
@@ -43,4 +46,5 @@ def zero_diffusion_fields(kk: int, shape, dtype=jnp.float64):
         difint=zk, difiso=zk, difdia=zk,
         difwgt=jnp.ones(H, dtype),
         umfltd=z2k, vmfltd=z2k, umflsm=z2k, vmflsm=z2k,
-        difvho=zk, difvso=zk, difvmo=zk)
+        difvho=zk, difvso=zk, difvmo=zk,
+        mtke=jnp.zeros((6,) + H, dtype))

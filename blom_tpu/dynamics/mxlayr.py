@@ -106,7 +106,17 @@ def _bg2(grid: Grid, e: eos.EosParams, s: State, n: int):
 
 def mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
            par: MxlayrParams, m: int, n: int, delt1,
-           swabs=None, idkedt=None) -> State:
+           swabs=None, idkedt=None, dfl=None):
+    """Returns the updated State; when `dfl` (DiffusionFields) is
+    passed, returns (state, dfl) with the mtke TKE-budget diagnostics
+    filled (mod_mxlayr.F90 mtkeus..mtkeke)."""
+    return _mxlayr(grid, e, s, forcing, par, m, n, delt1, swabs,
+                   idkedt, dfl)
+
+
+def _mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
+            par: MxlayrParams, m: int, n: int, delt1,
+            swabs=None, idkedt=None, dfl=None):
     kk = grid.kk
     ip = grid.ip
     H = grid.shape
@@ -377,8 +387,8 @@ def mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
     xs_walk = (ttem[2:], ssal[2:], delp[2:],
                jnp.moveaxis(trc_n[:, 2:], 1, 0), uk_st[2:], vk_st[2:],
                kfloats)
-    (pm_e, tdps, sdps, trdps_st, _, _, _, _, _, _, _), takes = lax.scan(
-        walk_body, walk_init, xs_walk)
+    (pm_e, tdps, sdps, trdps_st, _, _, _, _, dpe_fin, dke_fin,
+     _), takes = lax.scan(walk_body, walk_init, xs_walk)
     delp_ent = delp.at[2:].add(-takes)
     trdps = [trdps_st[t] for t in range(ntrc)]
 
@@ -490,16 +500,26 @@ def mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
     ssal_new = jnp.maximum(ssal_new, 0.)
     sigma_new = eos.sig(e, ttem_new, ssal_new) * ip
 
+    # ---- mtke diagnostics at the final mixed-layer depth
+    # (mod_mxlayr.F90 mtkeus/mtkeni/mtkebf/mtkers/mtkepe/mtkeke)
+    if dfl is not None:
+        _, _, (t_us, t_ni, t_bf, t_rs) = tke_terms(pmxl, floor_pm=True)
+        mtke = jnp.stack([t_us, t_ni, t_bf, t_rs,
+                          jnp.where(entrain, -dpe_fin, 0.),
+                          jnp.where(entrain, dke_fin, 0.)]) * ip[None]
+        dfl = dataclasses.replace(dfl, mtke=mtke)
+
     # ---- first physical layer (:1205-1218): first k >= 2 with mass
     haskm = (delp_new * (kidx >= 2)) > epsilp
     kfpl_new = jnp.where(jnp.any(haskm, axis=0),
                          jnp.argmax(haskm, axis=0),
                          kk).astype(s.kfpla.dtype)
 
-    return dataclasses.replace(
+    s = dataclasses.replace(
         s,
         temp=s.temp.at[n].set(ttem_new * ip),
         saln=s.saln.at[n].set(ssal_new * ip),
         dp=s.dp.at[n].set(jnp.maximum(delp_new, 0.) * ip),
         sigma=s.sigma.at[n].set(sigma_new),
         kfpla=s.kfpla.at[n].set(kfpl_new))
+    return s if dfl is None else (s, dfl)

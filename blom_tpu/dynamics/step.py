@@ -272,8 +272,8 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
 
     if par.vcoord_isopyc:
         # bulk mixed layer (mxlayr, mod_blom_step.F90:191-193)
-        s = mxlayr(grid, e, s, forcing, par.mxlayr, m, n, delt1,
-                   swabs=swabs)
+        s, dfl = mxlayr(grid, e, s, forcing, par.mxlayr, m, n, delt1,
+                        swabs=swabs, dfl=dfl)
     elif par.vmix is not None and swabs is not None:
         # ALE-path vertical physics (mod_blom_step.F90:196-207):
         # cmnfld_bfsqi_ale + ale_forcing + difest_vertical_hybrid are

@@ -300,6 +300,13 @@ FIELD_REGISTRY: Dict[str, Tuple[str, Callable]] = {
     # ---- diagnosed vertical mass flux (LYR_WFLX/WFLX2) ----
     'wflx': ('3d', _wflx),
     'wflx2': ('3d', _wflx2),
+    # ---- mixed-layer TKE budget terms (H2D_MTKE*) ----
+    'mtkeus': ('2d', lambda c, n: c.dfl.mtke[0]),
+    'mtkeni': ('2d', lambda c, n: c.dfl.mtke[1]),
+    'mtkebf': ('2d', lambda c, n: c.dfl.mtke[2]),
+    'mtkers': ('2d', lambda c, n: c.dfl.mtke[3]),
+    'mtkepe': ('2d', lambda c, n: c.dfl.mtke[4]),
+    'mtkeke': ('2d', lambda c, n: c.dfl.mtke[5]),
 }
 
 

@@ -289,3 +289,26 @@ def test_cppm_fc_nosc_sweep_matches_oracle():
         np.testing.assert_allclose(tm_got[:, wet], tm_ref[:, wet],
                                    rtol=1e-9, atol=1e-8,
                                    err_msg=f'tm trial {trial}')
+
+
+# --------------------------------------------------------------- barotp
+def test_barotp_weights_match_oracle():
+    """Production per-substep PGF weights vs the Fortran-transcribed
+    block schedule (mod_barotp.F90:328-358)."""
+    from blom_tpu.dynamics import barotp as bt
+    from oracles.barotp_weights_oracle import weight_schedule
+
+    for lstep in (8, 30, 64):
+        sched = weight_schedule(lstep)
+        wfn = bt.substep_weights(lstep)
+        for nb, rows in sched.items():
+            for (lll, wo, wm, wn) in rows:
+                got = wfn(nb, lll)
+                np.testing.assert_allclose(got, (wo, wm, wn),
+                                           rtol=1e-14, atol=1e-15,
+                                           err_msg=f'lstep={lstep} '
+                                                   f'nb={nb} lll={lll}')
+        # weights must always sum to one
+        for nb, rows in sched.items():
+            for (_, wo, wm, wn) in rows:
+                assert abs(wo + wm + wn - 1.) < 1e-12
