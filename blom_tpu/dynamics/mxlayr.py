@@ -444,18 +444,15 @@ def _mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
     delp_det = delp + jnp.where(gets, dpfsl[None], 0.)
 
     # entrain/shallow: interior layers lose entrained mass
-    dml_ent = jnp.maximum(pmxl - pres[0], mltmin * onem * .1)
     tdps_e = jnp.where(shallow, tdps_sh, tdps)
     sdps_e = jnp.where(shallow, sdps_sh, sdps)
     delp_ent = jnp.where(shallow[None],
                          delp - take_sh * (kidx >= 2), delp_ent)
-    qm = 1. / jnp.maximum(dml_ent - dptopl + delp[0], epsilp)
-    # layer-2 content after entrainment: everything between the skin
-    # and pmxl
-    t2_ent = (tdps_e + ttem[0] * delp[0]) \
-        / jnp.maximum(delp[0] + jnp.maximum(pmxl - pres[1], 0.), epsilp)
-    s2_ent = (sdps_e + ssal[0] * delp[0]) \
-        / jnp.maximum(delp[0] + jnp.maximum(pmxl - pres[1], 0.), epsilp)
+    # ML content after entrainment: everything between the skin and pmxl
+    ml_mass = jnp.maximum(delp[0] + jnp.maximum(pmxl - pres[1], 0.),
+                          epsilp)
+    t2_ent = (tdps_e + ttem[0] * delp[0]) / ml_mass
+    s2_ent = (sdps_e + ssal[0] * delp[0]) / ml_mass
 
     ent_like = entrain | shallow
     ttem_new = jnp.where(ent_like[None], ttem, ttem_det)
@@ -471,6 +468,28 @@ def _mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
     delp_new = delp_new.at[0].set(dp0 * ip).at[1].set(dp1 * ip)
     ttem_new = ttem_new.at[0].set(ml_t).at[1].set(ml_t)
     ssal_new = ssal_new.at[0].set(ml_s).at[1].set(ml_s)
+
+    # tracers go through the same redistribution (ttrc of the
+    # reference: entrained tracer mass joins the ML; detrained fossil
+    # water carries tracer into its density class)
+    if ntrc:
+        trc_new = trc_n
+        trdps_sh = (trc_n[:, 1] * delp[1][None]
+                    + jnp.sum(trc_n * take_sh[None], axis=1))
+        trdps_e = jnp.where(shallow[None],
+                            trdps_sh, jnp.stack(trdps)) \
+            if ntrc else None
+        trml = (trdps_e + trc_n[:, 0] * delp[0][None]) / ml_mass[None]
+        trfsl = trc_n[:, 1]
+        wnew_t = wnew[None]
+        trc_det = trc_n * (1. - wnew_t) + trfsl[:, None] * wnew_t
+        trc_new = jnp.where(ent_like[None, None], trc_n, trc_det)
+        trc_new = trc_new.at[:, 0].set(
+            jnp.where(ent_like[None], trml, trc_n[:, 0]))
+        trc_new = trc_new.at[:, 1].set(
+            jnp.where(ent_like[None], trml, trc_n[:, 1]))
+        s = dataclasses.replace(
+            s, trc=s.trc.at[n].set(trc_new * ip[None, None]))
 
     # ---- apply forcing (:1162-1196): penetrating shortwave below the
     # skin with the swfc2/swal2 exponential profile, capped at swamxd

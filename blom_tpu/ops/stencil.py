@@ -29,16 +29,26 @@ def _shift(a, axis: int, offset: int, periodic: bool):
     For non-periodic axes the vacated cells are filled with zero (land):
     the reference keeps land halos at zero and its loop masks skip them;
     here masks multiply the result instead."""
+    if offset == 0:
+        return a
     if periodic:
         return jnp.roll(a, -offset, axis=axis)
-    # shift with zero fill
-    out = jnp.roll(a, -offset, axis=axis)
-    idx = [slice(None)] * a.ndim
+    # shift with zero fill: static slice + concat, NOT roll — rolls
+    # along the second-to-last (sublane) axis are pathologically slow
+    # to compile for the TPU backend, while pad+slice lowers cleanly
+    n = a.shape[axis]
+
+    def take(lo, hi):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(lo, hi)
+        return a[tuple(idx)]
+
+    pad_shape = list(a.shape)
+    pad_shape[axis] = abs(offset)
+    zeros = jnp.zeros(pad_shape, a.dtype)
     if offset > 0:
-        idx[axis] = slice(a.shape[axis] - offset, None)
-    else:
-        idx[axis] = slice(0, -offset)
-    return out.at[tuple(idx)].set(0.0)
+        return jnp.concatenate([take(offset, n), zeros], axis=axis)
+    return jnp.concatenate([zeros, take(0, n + offset)], axis=axis)
 
 
 def im1(a, periodic_i: bool):
