@@ -312,3 +312,101 @@ def test_barotp_weights_match_oracle():
         for nb, rows in sched.items():
             for (_, wo, wm, wn) in rows:
                 assert abs(wo + wm + wn - 1.) < 1e-12
+
+
+# --------------------------------------------------------------- mxlayr
+def test_mxlayr_detrainment_matches_oracle():
+    """Production vectorized Oberhuber TKE balance vs the loop-level
+    transcription: TKE coefficients, term decomposition and the
+    damped-Newton detrainment depth (mod_mxlayr.F90:330-454)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from blom_tpu.core.constants import onem
+    from blom_tpu.drivers import standalone
+    from blom_tpu.dynamics import mxlayr as mx
+    from oracles import mxlayr_oracle as mo
+
+    model = standalone.build_fuk95(vcoord='isopyc_bulkml',
+                                   itdm=32, jtdm=12, kdm=10)
+    grid, e = model.grid, model.e
+    H = grid.shape
+    # warming + weak wind: stabilizing buoyancy flux -> detrainment
+    f = dataclasses.replace(
+        model.forcing,
+        surflx=jnp.full(H, -250.) * grid.ip,      # heat INTO the ocean
+        taux=jnp.full(H, .02) * grid.iu)
+    s0 = model.state
+    dfl0 = model.dfl
+    par = mx.MxlayrParams()
+    delt1 = 2. * model.par.baclin
+    s1, dfl1 = mx.mxlayr(grid, e, s0, f, par, 0, 1,
+                         jnp.asarray(delt1, s0.dp.dtype),
+                         swabs=model.swabs, dfl=dfl0)
+
+    ip = np.asarray(grid.ip)
+    dp_n = np.asarray(s0.dp[1])
+    t_n = np.asarray(s0.temp[1])
+    s_n = np.asarray(s0.saln[1])
+    mtke = np.asarray(dfl1.mtke)
+    dp1_new = np.asarray(s1.dp[1])
+    swfc2 = np.asarray(model.swabs.swfc2)
+    swal2 = np.asarray(model.swabs.swal2)
+    coriop = np.asarray(grid.coriop)
+    scp2 = np.asarray(grid.scp2)
+    scuxi = np.asarray(grid.scuxi)
+    scvyi = np.asarray(grid.scvyi)
+    surflx = np.asarray(f.surflx)
+    taux = np.asarray(f.taux)
+    tauy = np.asarray(f.tauy)
+
+    jj, ii = H
+    # loop-level bg2 (mod_mxlayr.F90:222-280), all-wet interior only
+    q12 = 1. / np.maximum(dp_n[0] + dp_n[1], 1e-30)
+    tm = (t_n[0] * dp_n[0] + t_n[1] * dp_n[1]) * q12
+    sm = (s_n[0] * dp_n[0] + s_n[1] * dp_n[1]) * q12
+    c = mo._sig0_coeffs()
+    b = np.zeros(H)
+    for j in range(jj):
+        for i in range(ii):
+            b[j, i] = mo.grav * mo.alpha0 * mo.eo.sig(c, tm[j, i],
+                                                      sm[j, i])
+
+    checked = 0
+    for j in range(3, jj - 3):
+        for i in range(3, ii - 3, 5):
+            if ip[j, i] == 0 or min(ip[j - 1, i], ip[j + 1, i],
+                                    ip[j, i - 1], ip[j, i + 1]) == 0:
+                continue
+            u2 = lambda i_: ((b[j, i_] - b[j, i_ - 1])
+                             * scuxi[j, i_]) ** 2
+            v2 = lambda j_: ((b[j_, i] - b[j_ - 1, i])
+                             * scvyi[j_, i]) ** 2
+            bg2 = .5 * (u2(i) + u2(i + 1)) + .5 * (v2(j) + v2(j + 1))
+
+            txp = .5 * (taux[j, i] + taux[j, i + 1])
+            typ = .5 * (tauy[j, i] + tauy[min(j + 1, jj - 1), i])
+            ustar = np.sqrt(np.sqrt(txp ** 2 + typ ** 2) / 1000.)
+            coeffs = mo.tke_coeffs(
+                dp_n[0, j, i], dp_n[1, j, i], t_n[0, j, i], t_n[1, j, i],
+                s_n[0, j, i], s_n[1, j, i], surflx[j, i], 0., 0., 0.,
+                swfc2[j, i], max(swal2[j, i], 1e-3), coriop[j, i],
+                ustar, ustar ** 3, par.rm0, bg2, scp2[j, i], par.ce,
+                par.tau_mlr, par.lfmin, rtsflg=1)
+
+            pres3 = dp_n[0, j, i] + dp_n[1, j, i]
+            us, ni, bf, rs, _ = mo.tke_terms(pres3, coeffs,
+                                             floor_pm=False)
+            tkew0 = us + ni + bf + rs
+            if not (tkew0 < 0. and pres3 > mx.mltmin * onem):
+                continue    # only validate the detraining branch here
+            pmxl_ref = mo.detrain_pmxl(0., pres3, coeffs)
+            pmxl_got = dp1_new[0, j, i] + dp1_new[1, j, i]
+            assert abs(pmxl_got - pmxl_ref) < mo.tencm, (
+                j, i, pmxl_got / onem, pmxl_ref / onem)
+            # mtke term decomposition at the solved depth
+            us, ni, bf, rs, _ = mo.tke_terms(pmxl_ref, coeffs)
+            np.testing.assert_allclose(
+                mtke[:4, j, i], [us, ni, bf, rs], rtol=1e-5,
+                atol=1e-12, err_msg=f'({j},{i})')
+            checked += 1
+    assert checked >= 10, checked
