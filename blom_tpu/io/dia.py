@@ -586,6 +586,44 @@ def write_netcdf(path: str, grid: Grid, group: DiaGroup, time_days: float,
             v[0] = out
             v._FillValue = np.float32(-1e33)
 
+        # ---- MERDIA (MER_MMFLXL/MER_MHFLX/MER_MSFLX ids,
+        # mod_dia.F90:4150-4340): overturning streamfunction and
+        # vertically integrated meridional heat/salt transports,
+        # computed from the accumulated fluxes at output time over
+        # 1-degree latitude bins.
+        names = {n for n, _ in _norm_fields(group.fields)}
+        if 'vflx' in names and grid.plat is not None:
+            from .merdia import (lat_bin_weights,
+                                 overturning_streamfunction,
+                                 meridional_transport)
+            import jax.numpy as jnp
+            lats = np.arange(-89.5, 90., 1.)
+            wlat = lat_bin_weights(jnp.asarray(np.asarray(grid.plat)),
+                                   jnp.asarray(lats))
+            f.createDimension('lat', len(lats))
+            f.createDimension('sigma1', grid.kk + 1)
+            lv = f.createVariable('lat', 'd', ('lat',))
+            lv[:] = lats
+            lv.units = 'degrees_north'
+
+            vm = np.asarray(group.acc['vflx']) * q
+            mosf = np.asarray(overturning_streamfunction(
+                jnp.asarray(vm), wlat, scale=1. / 9.806))
+            v = f.createVariable('mmflxl', 'f', ('time', 'lat',
+                                                 'sigma1'))
+            v[0] = mosf.astype('f4')
+            v.units = 'kg s-1'
+            for fld, out_name, scale in (
+                    ('vtflx', 'mhflx', 3990. / 9.806),
+                    ('vsflx', 'msflx', 1.e-3 / 9.806)):
+                if fld in names:
+                    tr = np.asarray(meridional_transport(
+                        jnp.asarray(np.asarray(group.acc[fld]) * q),
+                        wlat, scale=scale))
+                    v = f.createVariable(out_name, 'f',
+                                         ('time', 'lat'))
+                    v[0] = tr.astype('f4')
+
 
 def write_netcdf_compressed(path: str, grid: Grid, group: DiaGroup,
                             time_days: float):

@@ -125,3 +125,28 @@ def test_dia_group_ops_and_zlev(tmp_path):
     g2 = dia.reset(g)
     assert float(np.asarray(g2.nacc)) == 0.
     assert np.isinf(np.asarray(g2.acc['temp'])).all()
+
+
+def test_write_netcdf_includes_merdia(tmp_path):
+    """diaout writes the overturning streamfunction and meridional
+    heat/salt transports computed from accumulated fluxes
+    (MER_MMFLXL/MER_MHFLX/MER_MSFLX, mod_dia.F90:4150-4340)."""
+    from scipy.io import netcdf_file
+    from blom_tpu.drivers import standalone
+    from blom_tpu.io import dia
+
+    model = standalone.build_fuk95(itdm=24, jtdm=12, kdm=6)
+    g = dia.init_group(model.grid, model.state,
+                       ('sst', 'vflx', 'vtflx', 'vsflx'),
+                       forcing=model.forcing, dfl=model.dfl)
+    s, _ = standalone.run(model, 4)
+    g = dia.accumulate(model.grid, g, s, 1, model.forcing, model.dfl)
+    path = tmp_path / 'dia.nc'
+    dia.write_netcdf(str(path), model.grid, g, 1.0)
+    with netcdf_file(str(path), 'r', mmap=False) as nc:
+        assert 'mmflxl' in nc.variables
+        assert 'mhflx' in nc.variables
+        assert 'msflx' in nc.variables
+        mosf = np.array(nc.variables['mmflxl'][:])
+        assert np.isfinite(mosf).all()
+        assert mosf.shape[1:] == (180, model.grid.kk + 1)
