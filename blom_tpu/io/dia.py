@@ -36,6 +36,17 @@ class DiaCtx(NamedTuple):
     si: object = None      # phys.seaice.SeaiceState
     swabs: object = None   # phys.swabs.SwabsFields
     tridx: dict = None     # tracer indices {'itriag','itrtke','itrgls'}
+    cesm: dict = None      # coupled-interval forcing (getfrc_cesm dict)
+
+
+def _cesm(name):
+    """A coupled-forcing field (H2D_LIP/SOP/EVA/RNFFLX/RFIFLX/FMLTFZ/
+    HMLTFZ/LAMULT/USTOKES/VSTOKES ids; zeros in uncoupled runs)."""
+    def fn(c, n):
+        if not c.cesm or name not in c.cesm:
+            return jnp.zeros(c.g.shape, c.s.pb.dtype)
+        return c.cesm[name]
+    return fn
 
 
 def _si(name):
@@ -300,6 +311,19 @@ FIELD_REGISTRY: Dict[str, Tuple[str, Callable]] = {
     # ---- diagnosed vertical mass flux (LYR_WFLX/WFLX2) ----
     'wflx': ('3d', _wflx),
     'wflx2': ('3d', _wflx2),
+    # ---- coupled forcing fields (H2D ids from mod_cesm slots) ----
+    'lip': ('2d', _cesm('lip')),
+    'sop': ('2d', _cesm('sop')),
+    'eva': ('2d', _cesm('eva')),
+    'rnfflx': ('2d', _cesm('rnf')),
+    'rfiflx': ('2d', _cesm('rfi')),
+    'fmltfz': ('2d', _cesm('fmltfz')),
+    'hmltfz': ('2d', _cesm('hmlt')),
+    'lamult': ('2d', _cesm('lamult')),
+    'lasl': ('2d', _cesm('hstokes')),
+    'ustokes': ('2d', _cesm('ustokes')),
+    'vstokes': ('2d', _cesm('vstokes')),
+    'slp': ('2d', _cesm('slp')),
     # ---- mixed-layer TKE budget terms (H2D_MTKE*) ----
     'mtkeus': ('2d', lambda c, n: c.dfl.mtke[0]),
     'mtkeni': ('2d', lambda c, n: c.dfl.mtke[1]),
@@ -359,9 +383,10 @@ def _norm_fields(fields):
 
 
 def init_group(grid: Grid, state: State, fields, dtype=jnp.float64,
-               forcing=None, dfl=None, si=None, swabs=None, tridx=None):
+               forcing=None, dfl=None, si=None, swabs=None, tridx=None,
+               cesm=None):
     fields = _norm_fields(fields)
-    c = DiaCtx(grid, state, forcing, dfl, si, swabs, tridx)
+    c = DiaCtx(grid, state, forcing, dfl, si, swabs, tridx, cesm)
     acc = {}
     for name, op in fields:
         dims, fn = FIELD_REGISTRY[name]
@@ -377,10 +402,10 @@ def init_group(grid: Grid, state: State, fields, dtype=jnp.float64,
 
 def accumulate(grid: Grid, group: DiaGroup, s: State, n: int,
                forcing=None, dfl=None, si=None, swabs=None,
-               tridx=None) -> DiaGroup:
+               tridx=None, cesm=None) -> DiaGroup:
     """Add the current state to the running accumulators (diaacc,
     mod_dia.F90:1097-2200; op semantics of the ACC_* encoding)."""
-    c = DiaCtx(grid, s, forcing, dfl, si, swabs, tridx)
+    c = DiaCtx(grid, s, forcing, dfl, si, swabs, tridx, cesm)
     acc = dict(group.acc)
     for name, op in group.fields:
         dims, fn = FIELD_REGISTRY[name]
