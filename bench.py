@@ -7,15 +7,45 @@ tnx1-class grid (384 x 360 x 53, the reference's 1-degree global size,
 split-explicit barotropic solver + corrections + smoothing).
 
 vs_baseline: the only quantitative anchor the reference publishes is the
-fuk95 CI budget — 1 model day (480 steps of 156x32x12) within 900 s on a
-CI CPU (tests/fuk95/meson.build:19-24) = 31,949 grid-points/s.  The
+fuk95 CI budget -- 1 model day (480 steps of 156x32x12) within 900 s on
+a CI CPU (tests/fuk95/meson.build:19-24) = 31,949 grid-points/s.  The
 ratio reported is measured gp/s over that anchor.
+
+Self-validation (round 4, after the r03 tunnel non-execution artifact):
+  1. the final state is materialized to host and checksummed; a NaN/Inf
+     or unchanged-from-initial state fails the run;
+  2. two different trip counts are timed and the wall times must scale
+     near-linearly with steps (a non-executing async dispatch would
+     return in ~constant time regardless of trip count);
+  3. the implied per-step time is floor-checked against an HBM
+     bandwidth bound for the state size (a v5e cannot move the working
+     set faster than ~819 GB/s).
+A failed validation prints a JSON line with "error" set and exits 1
+rather than recording an impossible number.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _time_pairs(run_pairs, carry, pairs, npairs):
+    import jax
+    t0 = time.perf_counter()
+    out, _ = run_pairs(carry, pairs(npairs))
+    jax.block_until_ready(out[0].dp)
+    return time.perf_counter() - t0, out
+
+
+def fail(msg, **detail):
+    print(json.dumps({
+        'metric': 'grid-points/s per chip (tnx1-class step loop)',
+        'value': 0.0, 'unit': 'gridpoints/s', 'vs_baseline': 0.0,
+        'error': msg, 'detail': detail,
+    }))
+    sys.exit(1)
 
 
 def main():
@@ -51,19 +81,46 @@ def main():
     def pairs(n):
         return (jnp.full((n,), d2), jnp.full((n,), d2))
 
-    npairs = 10
-    # warmup / compile with the SAME trip count (a different scan length
-    # is a different XLA program)
-    carry = (model.state, model.dfl)
-    carry, _ = run_pairs(carry, pairs(npairs))
-    jax.block_until_ready(carry[0].dp)
+    npairs, nhalf = 10, 5
+    # warmup / compile with the SAME trip counts (a different scan
+    # length is a different XLA program)
+    carry0 = (model.state, model.dfl)
+    dp0 = np.asarray(model.state.dp)
+    for n in (nhalf, npairs):
+        w, _ = _time_pairs(run_pairs, carry0, pairs, n)
 
-    t0 = time.perf_counter()
-    carry, _ = run_pairs(carry, pairs(npairs))
-    jax.block_until_ready(carry[0].dp)
-    wall = time.perf_counter() - t0
+    wall_half, _ = _time_pairs(run_pairs, carry0, pairs, nhalf)
+    wall, carry = _time_pairs(run_pairs, carry0, pairs, npairs)
 
+    # --- validation 1: materialize + checksum the final state -------
+    dp = np.asarray(carry[0].dp, dtype=np.float64)
+    temp = np.asarray(carry[0].temp, dtype=np.float64)
+    if not (np.isfinite(dp).all() and np.isfinite(temp).all()):
+        fail('non-finite final state')
+    if float(np.abs(dp - dp0).max()) == 0.0:
+        fail('final state identical to initial state (step did not run)')
+    checksum = float(dp.sum()) + float(temp.sum())
+
+    # --- validation 2: wall time must scale with trip count ---------
+    # A non-executing dispatch returns in near-constant time; a real
+    # 2x-steps run takes ~2x.  Accept [1.3, 3.2] to absorb tunnel
+    # variance (documented +-20%).
+    ratio = wall / max(wall_half, 1e-12)
+    if not (1.3 <= ratio <= 3.2):
+        fail('wall time does not scale with trip count '
+             '(execution not observed)',
+             wall_half_s=wall_half, wall_s=wall, ratio=ratio)
+
+    # --- validation 3: floor-check vs an HBM-bandwidth bound --------
+    # One step reads+writes the prognostic state at least twice; the
+    # state is ~60 arrays of (kdm,jtdm,itdm) f32.  v5e HBM ~819 GB/s.
+    state_bytes = 60 * itdm * jtdm * kdm * 4
+    floor_s = 2 * state_bytes / 819e9        # ~4.3 ms: hard lower bound
     nsteps = 2 * npairs
+    if wall / nsteps < floor_s:
+        fail('per-step wall below HBM roofline floor (impossible)',
+             sec_per_step=wall / nsteps, floor_s=floor_s)
+
     gps = itdm * jtdm * kdm * nsteps / wall
     baseline_gps = 156 * 32 * 12 * 480 / 900.0
 
@@ -76,7 +133,10 @@ def main():
             'grid': [itdm, jtdm, kdm],
             'steps': nsteps,
             'wall_s': round(wall, 3),
+            'wall_half_s': round(wall_half, 3),
+            'scaling_ratio': round(ratio, 2),
             'sec_per_step': round(wall / nsteps, 4),
+            'state_checksum': checksum,
             'platform': jax.devices()[0].platform,
             'device': str(jax.devices()[0]),
         },

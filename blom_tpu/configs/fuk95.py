@@ -35,11 +35,24 @@ saln0 = 35.      # constant salinity [g kg-1]
 ITDM, JTDM, KDM = 156, 32, 12
 
 
+def grid_spacing():
+    """Grid spacing [m].  At the reference dims this is lam/jtdm = 650 m
+    (mod_fuk95.F90:121-238).  When the grid is scaled up (e.g. the
+    tnx1-class bench size), the RESOLUTION is kept at the reference's
+    650 m and the DOMAIN grows with the point count: refining a fixed
+    20.8 km channel with the deck's baclin=180 s / batrop=6 s steps
+    would violate the barotropic CFL bound (sqrt(gH)*batrop/dx > 1 for
+    jtdm >~ 150) and sit at the explicit-diffusion limit — the scaled
+    case must stay a stable, physically sane workload."""
+    return lam / JTDM
+
+
 def _x_nudge(ri, rj, itdm, jtdm):
     """Perturbed cross-channel position (mod_fuk95.F90:74-84); ri, rj are
     1-based global indices as in the reference."""
     return ((ri - itdm // 2 - .5
-             + .1 * np.sin(2. * (rj - 1) * np.pi / jtdm)) * lam / jtdm)
+             + .1 * np.sin(2. * (rj - 1) * np.pi / jtdm))
+            * grid_spacing())
 
 
 def _x_psi(x):
@@ -59,7 +72,7 @@ def make_grid(baclin: float = 180., itdm=ITDM, jtdm=JTDM, kdm=KDM,
     depths[:, 0] = 0.0
     depths[:, -1] = 0.0
 
-    gs = lam / jtdm
+    gs = grid_spacing()
     dlat = gs * c.radian / c.rearth
     dlon = dlat * np.sin(lat0 / c.radian)
 

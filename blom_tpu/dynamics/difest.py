@@ -76,8 +76,14 @@ def difest_lateral(grid: Grid, s: State, cf: CmnFields,
     K_i = jnp.clip(par.egc * sigma_eady * L * L,
                    par.egmndf, par.egmxdf) * ip   # (kk+1, H)
 
-    difint = .5 * (K_i[:-1] + K_i[1:])            # layer values
-    difiso = par.egidfq * difint
+    # reference clamp order: min(difmxp, egmxdf, max(egmndf, K))
+    # (mod_difest.F90:1910-1921) — difmxp is the grid/timestep CFL bound
+    # on explicit lateral diffusion (numerical_bounds,
+    # mod_blom_init.F90:446-555); without it an egmndf/egmxdf above the
+    # stability limit makes diffus/eddtra explode.
+    difint = jnp.minimum(grid.difmxp,
+                         .5 * (K_i[:-1] + K_i[1:]))   # layer values
+    difiso = jnp.minimum(grid.difmxp, par.egidfq * difint)
 
     return dataclasses.replace(
         dfl, difint=difint, difiso=difiso, difwgt=difwgt)
