@@ -98,6 +98,18 @@ def _recon(ale: AleParams, p, tm, limiting, pc_upper=False,
     return h3.ppm_reconstruct(p, tm, limiting, pc_upper, pc_lower)
 
 
+def _recon_multi(ale: AleParams, p, tms, limiting, pc_upper=False,
+                 pc_lower=False):
+    """Reconstruct several fields on a shared source grid; for the PPM
+    method the grid-only edge weights are computed once
+    (h3.ppm_reconstruct_multi)."""
+    if ale.reconstruction_method == 'ppm':
+        return h3.ppm_reconstruct_multi(p, tms, limiting, pc_upper,
+                                        pc_lower)
+    return [_recon(ale, p, tm, limiting, pc_upper, pc_lower)
+            for tm in tms]
+
+
 def _sigma_at(p_src, sig_up, sig_lo, pq):
     """Linear-in-layer interface density at pressure pq (scan over
     source layers; regrid nudge's sig_pmin interpolation,
@@ -311,11 +323,14 @@ def ale_regrid_remap(grid: Grid, e: eos.EosParams, ale: AleParams,
     p_src = cumulative_p(s.dp[n]) * ip
     p_bot = p_src[kk]
 
-    # 1. reconstruct tracers
-    rc_t = _recon(ale, p_src, s.temp[n], ale.tracer_limiting,
-                              pc_upper=ale.tracer_pc_upper)
-    rc_s = _recon(ale, p_src, s.saln[n], ale.tracer_limiting,
-                              pc_upper=ale.tracer_pc_upper)
+    # 1. reconstruct tracers (T, S and passive tracers share p_src, so
+    # the grid-only edge stencil weights are computed once)
+    ntr = s.trc.shape[1]
+    rcs_p = _recon_multi(
+        ale, p_src,
+        [s.temp[n], s.saln[n]] + [s.trc[n, nt] for nt in range(ntr)],
+        ale.tracer_limiting, pc_upper=ale.tracer_pc_upper)
+    rc_t, rc_s = rcs_p[0], rcs_p[1]
 
     # 2. regrid
     p_dst, smooth_fac = regrid_nudge(grid, e, ale, p_src, rc_t, rc_s,
@@ -330,13 +345,6 @@ def ale_regrid_remap(grid: Grid, e: eos.EosParams, ale: AleParams,
     # only on p_dst, so the tracer and velocity remaps fuse into one
     # multi-group scan over source layers (h3.remap_groups).
     dp_new = jnp.maximum(p_dst[1:] - p_dst[:-1], 0.) * ip
-
-    ntr = s.trc.shape[1]
-    rcs_p = [rc_t, rc_s]
-    for nt in range(ntr):
-        rcs_p.append(_recon(ale, p_src, s.trc[n, nt],
-                            ale.tracer_limiting,
-                            pc_upper=ale.tracer_pc_upper))
 
     pu_old = cumulative_p(s.dpu[n])
     pv_old = cumulative_p(s.dpv[n])

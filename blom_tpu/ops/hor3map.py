@@ -35,6 +35,25 @@ NON_OSCILLATORY = 'non_oscillatory'
 NON_OSCILLATORY_POSDEF = 'non_oscillatory_posdef'
 
 
+def _shift_clamped(a, off, n_out, hi):
+    """a[clip(arange(n_out) + off, 0, hi)] expressed as static
+    slices + concats along axis 0.  Equivalent to an integer-array
+    gather but lowers to cheap major-axis slicing on TPU (gathers
+    along a non-lane axis are serialized; see PERF.md)."""
+    lo_rep = max(0, -off)                # leading copies of a[0]
+    hi_rep = max(0, n_out - 1 + off - hi)  # trailing copies of a[hi]
+    start = max(0, off)
+    stop = min(hi, n_out - 1 + off) + 1
+    parts = []
+    if lo_rep:
+        parts.extend([a[:1]] * lo_rep)
+    parts.append(a[start:stop])
+    if hi_rep:
+        parts.extend([a[hi:hi + 1]] * hi_rep)
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return out
+
+
 class Recon(NamedTuple):
     """Piecewise-polynomial reconstruction on a source grid: parabolic
     (c3 = c4 = None) or quartic (PQM)."""
@@ -68,30 +87,28 @@ class Recon(NamedTuple):
         return v
 
 
-def _edge4(dx, tm):
-    """4th-order nonuniform edge estimate between cells k-1 and k from the
-    4-cell stencil (k-2, k-1, k, k+1) — the explicit solve of the same
-    cell-mean moment system the reference builds
-    (set_stencil_coeffs' 1111 branch, mod_cppm.F90:121-200, applied
-    vertically).  dx, tm: (kk, ...).  Returns edges (kk+1, ...) with
-    one-sided lower-order estimates for the outermost interior edges and
-    copies at the column ends."""
-    kk = tm.shape[0]
+def edge4_weights(dx):
+    """Per-edge stencil weights (w1..w4) of the 4th-order nonuniform
+    edge estimate between cells k-1 and k from the 4-cell stencil
+    (k-2, k-1, k, k+1) — the explicit solve of the same cell-mean
+    moment system the reference builds (set_stencil_coeffs' 1111
+    branch, mod_cppm.F90:121-200, applied vertically).  dx: (kk, ...).
+
+    The weights depend only on the source grid, so fields sharing a
+    grid (T, S, all tracers) compute them ONCE (reconstruct_multi).
+    Boundary rows are folded in: one-sided 3-cell estimates for the
+    outermost interior edges, cell-mean copies at the column ends."""
+    kk = dx.shape[0]
 
     def pad(a, off):
         # value of cell k+off relative to edge position k (edge k between
         # cells k-1 and k); clamp out-of-range to nearest cell
-        idx = jnp.clip(jnp.arange(kk + 1) + off, 0, kk - 1)
-        return a[idx]
+        return _shift_clamped(a, off, kk + 1, kk - 1)
 
     x1 = pad(dx, -2)
     x2 = pad(dx, -1)
     x3 = pad(dx, 0)
     x4 = pad(dx, 1)
-    t1 = pad(tm, -2)
-    t2 = pad(tm, -1)
-    t3 = pad(tm, 0)
-    t4 = pad(tm, 1)
 
     c1_2, c1_3, c2_3, c1_4, c3_4, c1_6, c1_12 = \
         .5, 1 / 3., 2 / 3., .25, .75, 1 / 6., 1 / 12.
@@ -130,7 +147,6 @@ def _edge4(dx, tm):
     h3 = (h3 - b43 * h4) / safe(b33)
     h2 = (h2 - b32 * h3 - b42 * h4) / safe(b22)
     h1 = 1. - h2 - h3 - h4
-    e4 = h1 * t1 + h2 * t2 + h3 * t3 + h4 * t4
 
     # 3-cell one-sided estimates for edges 1 and kk-1 (0111/1110 branches)
     # 0111: cells (k-1, k, k+1)
@@ -142,7 +158,6 @@ def _edge4(dx, tm):
     g4 = (-a23 - c33 * g3) / safe(c43)
     g3 = (g3 - c42 * g4) / safe(c32)
     g2 = 1. - g3 - g4
-    e0111 = g2 * t2 + g3 * t3 + g4 * t4
     # 1110: cells (k-2, k-1, k)
     d22 = a22 - a12
     d32 = a32 - a12
@@ -152,14 +167,41 @@ def _edge4(dx, tm):
     f3 = (-a13 - d23 * f2) / safe(d33)
     f2 = (f2 - d32 * f3) / safe(d22)
     f1 = 1. - f2 - f3
-    e1110 = f1 * t1 + f2 * t2 + f3 * t3
 
-    kidx = jnp.arange(kk + 1).reshape((kk + 1,) + (1,) * (tm.ndim - 1))
-    e = jnp.where(kidx == 1, e0111, e4)
-    e = jnp.where(kidx == kk - 1, e1110, e)
-    e = jnp.where(kidx == 0, t3, e)       # top edge: top-cell mean
-    e = jnp.where(kidx == kk, t2, e)      # bottom edge: bottom-cell mean
-    return e
+    kidx = jnp.arange(kk + 1).reshape((kk + 1,) + (1,) * (dx.ndim - 1))
+    zero = jnp.zeros_like(h1)
+    one = zero + 1.
+    w1 = jnp.where(kidx == 1, zero, h1)
+    w2 = jnp.where(kidx == 1, zero, h2)
+    w3 = jnp.where(kidx == 1, g3, h3)
+    w4 = jnp.where(kidx == 1, g4, h4)
+    w2 = jnp.where(kidx == 1, g2, w2)
+    w1 = jnp.where(kidx == kk - 1, f1, w1)
+    w2 = jnp.where(kidx == kk - 1, f2, w2)
+    w3 = jnp.where(kidx == kk - 1, f3, w3)
+    w4 = jnp.where(kidx == kk - 1, zero, w4)
+    # top edge: top-cell mean; bottom edge: bottom-cell mean
+    top = kidx == 0
+    bot = kidx == kk
+    w1 = jnp.where(top | bot, zero, w1)
+    w2 = jnp.where(top, zero, jnp.where(bot, one, w2))
+    w3 = jnp.where(top, one, jnp.where(bot, zero, w3))
+    w4 = jnp.where(top | bot, zero, w4)
+    return w1, w2, w3, w4
+
+
+def _edge4(dx, tm, weights=None):
+    """4th-order edge estimate: apply edge4_weights to the 4-cell
+    stencil of cell means.  tm: (kk, ...) -> edges (kk+1, ...)."""
+    kk = tm.shape[0]
+    if weights is None:
+        weights = edge4_weights(dx)
+    w1, w2, w3, w4 = weights
+    t1 = _shift_clamped(tm, -2, kk + 1, kk - 1)
+    t2 = _shift_clamped(tm, -1, kk + 1, kk - 1)
+    t3 = _shift_clamped(tm, 0, kk + 1, kk - 1)
+    t4 = _shift_clamped(tm, 1, kk + 1, kk - 1)
+    return w1 * t1 + w2 * t2 + w3 * t3 + w4 * t4
 
 
 def _kidx(kk, ndim):
@@ -315,15 +357,18 @@ def _limit_nosc(tm, tel, ter, dx):
 
 
 def ppm_reconstruct(p, tm, limiting=NON_OSCILLATORY,
-                    pc_upper=False, pc_lower=False) -> Recon:
+                    pc_upper=False, pc_lower=False,
+                    edge_weights=None) -> Recon:
     """PPM reconstruction of layer means tm on interfaces p.
 
     p: (kk+1, ...), tm: (kk, ...).  pc_upper/pc_lower: force piecewise-
     constant reconstruction in the top/bottom layer (the reference's
-    *_pc_*_bndr options, mod_ale_regrid_remap.F90:76-81)."""
+    *_pc_*_bndr options, mod_ale_regrid_remap.F90:76-81).
+    edge_weights: precomputed edge4_weights(dx) when several fields
+    share the source grid."""
     kk = tm.shape[0]
     dx = jnp.maximum(p[1:] - p[:-1], 0.) + heps
-    e = _edge4(dx, tm)
+    e = _edge4(dx, tm, edge_weights)
     tel = e[:-1]
     ter = e[1:]
 
@@ -351,6 +396,18 @@ def ppm_reconstruct(p, tm, limiting=NON_OSCILLATORY,
     c1 = 6. * tm - 4. * tel - 2. * ter
     c2 = 3. * (tel - 2. * tm + ter)
     return Recon(p=p, c0=c0, c1=c1, c2=c2)
+
+
+def ppm_reconstruct_multi(p, tms, limiting=NON_OSCILLATORY,
+                          pc_upper=False, pc_lower=False):
+    """PPM-reconstruct several fields sharing interfaces p, computing
+    the grid-only edge stencil weights once (the reference's
+    prepare_reconstruction/reconstruct split, mod_hor3map.F90:268-283:
+    grid preparation is separate from per-field reconstruction)."""
+    dx = jnp.maximum(p[1:] - p[:-1], 0.) + heps
+    w = edge4_weights(dx)
+    return [ppm_reconstruct(p, tm, limiting, pc_upper, pc_lower,
+                            edge_weights=w) for tm in tms]
 
 
 def integrate_to(rc: Recon, pq):
@@ -641,9 +698,7 @@ def _ih6_matrices(dx):
     over edges and columns.  dx: (kk, ...); valid for interior edges
     2..kk-2 (others fall back to ih4)."""
     def at(off):
-        idx = jnp.clip(jnp.arange(dx.shape[0] + 1) + off, 0,
-                       dx.shape[0] - 1)
-        return dx[idx]
+        return _shift_clamped(dx, off, dx.shape[0] + 1, dx.shape[0] - 1)
 
     h1, h2, h3, h4 = at(-2), at(-1), at(0), at(1)
     one = jnp.ones_like(h1)
@@ -703,9 +758,7 @@ def _ih6_matrices_asym(dx, side: str):
     mod_hor3map.F90:716-780,847-911), evaluated at every edge (only the
     near-boundary rows are consumed)."""
     def at(off):
-        idx = jnp.clip(jnp.arange(dx.shape[0] + 1) + off, 0,
-                       dx.shape[0] - 1)
-        return dx[idx]
+        return _shift_clamped(dx, off, dx.shape[0] + 1, dx.shape[0] - 1)
 
     one_like = jnp.ones_like(at(0))
 
@@ -771,8 +824,7 @@ def edges_slopes_ih6(p, tm, lb_ord: int = 6, rb_ord: int = 4):
     ce_r, cs_r = solve_coeffs(_ih6_matrices_asym(dx, 'right'))
 
     def cellv(off):
-        idx = jnp.clip(jnp.arange(kk + 1) + off, 0, kk - 1)
-        return tm[idx]
+        return _shift_clamped(tm, off, kk + 1, kk - 1)
 
     u_m4 = cellv(-4)
     u_m3 = cellv(-3)
