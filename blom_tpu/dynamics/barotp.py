@@ -126,11 +126,14 @@ def global_shifts(grid: Grid) -> Shifts:
 
 
 def local_shifts() -> Shifts:
-    """Shifts on a halo-widened local block: plain rolls (ghost rings
-    absorb the wrap garbage; validity bookkeeping lives in the caller's
-    margin schedule)."""
+    """Shifts on a halo-widened local block: zero-filled slice+pad
+    shifts (the ghost rings absorb the edge garbage; validity
+    bookkeeping lives in the caller's margin schedule).  Slice+pad, not
+    roll: sublane-axis rolls are pathological for the TPU backend."""
+    from ..ops import stencil
+
     def sh(off, axis):
-        return lambda a: jnp.roll(a, -off, axis=axis)
+        return lambda a: stencil._shift(a, axis, off, False)
     return Shifts(im1=sh(-1, -1), ip1=sh(1, -1), jm1=sh(-1, -2),
                   jp1v=sh(1, -2), jp1q=sh(1, -2))
 

@@ -38,6 +38,114 @@ RINGS_PER_SUBSTEP = 3
 SUBS_PER_EXCH = 2
 
 
+def wide_tree(tree, margin, ny, nx, per_i, per_j):
+    """Halo-widen a whole pytree with ONE exchange: stack all leaves
+    (grouped by dtype) into single (N, j, i) arrays, exchange, unstack
+    — 4 collective-permutes per dtype group regardless of field
+    count."""
+    import jax as _jax
+    leaves, treedef = _jax.tree.flatten(tree)
+    out = [None] * len(leaves)
+    dtypes = sorted({str(l.dtype) for l in leaves if l.ndim >= 2})
+    for dt in dtypes:
+        idxs = [i for i, l in enumerate(leaves)
+                if l.ndim >= 2 and str(l.dtype) == dt]
+        st = jnp.concatenate(
+            [leaves[i].reshape((-1,) + leaves[i].shape[-2:])
+             for i in idxs], 0)
+        st = halo_exchange(st, margin, ny, nx, per_i, per_j)
+        pos = 0
+        for i in idxs:
+            l = leaves[i]
+            sz = int(np.prod(l.shape[:-2])) if l.ndim > 2 else 1
+            blk = st[pos:pos + sz]
+            out[i] = blk.reshape(l.shape[:-2] + blk.shape[-2:])
+            pos += sz
+    for i, l in enumerate(leaves):
+        if out[i] is None:
+            out[i] = l          # scalars / 1-D leaves pass through
+    return _jax.tree.unflatten(treedef, out)
+
+
+def crop_tree(tree, margin):
+    """Drop `margin` ghost rings from the trailing (j, i) axes of every
+    array leaf."""
+    import jax as _jax
+    m = margin
+    return _jax.tree.map(
+        lambda a: a[..., m:-m, m:-m] if getattr(a, 'ndim', 0) >= 2 else a,
+        tree)
+
+
+def barotp_block(ny: int, nx: int, per_i: bool, per_j: bool,
+                 fld_l, ubflxs, vbflxs, ubflxs_p, vbflxs_p,
+                 m: int, n: int, lstep: int, dlt, par: bt.BarotpParams,
+                 subs_per_exch: int = SUBS_PER_EXCH):
+    """Block-local margin-k barotropic core: must run inside shard_map
+    over a ('y','x') mesh.  Inputs are UNPADDED local blocks; outputs
+    are unpadded (out, sums) dicts for bt.finalize."""
+    margin = RINGS_PER_SUBSTEP * subs_per_exch
+
+    def wide(a):
+        return halo_exchange(a, margin, ny, nx, per_i, per_j)
+
+    def crop(a):
+        return a[..., margin:-margin, margin:-margin]
+
+    # widen every per-step-constant field once (one exchange)
+    fld_w, ubflxs, vbflxs, ubflxs_p, vbflxs_p = wide_tree(
+        (fld_l, ubflxs, vbflxs, ubflxs_p, vbflxs_p), margin,
+        ny, nx, per_i, per_j)
+    sh = bt.local_shifts()
+
+    def exch_carries(pb_t, ubflx_t, vbflx_t):
+        """One stacked margin-M exchange of the working time levels
+        (the xctilr of mod_barotp.F90:387-397)."""
+        st = jnp.concatenate(
+            [crop(pb_t), crop(ubflx_t), crop(vbflx_t)], axis=0)
+        st = wide(st)
+        return st[:2], st[2:4], st[4:6]
+
+    def runner(nb, substep_fn, half_, carry):
+        # carry fields live at the widened shape; every subs_per_exch
+        # substeps: crop, exchange, continue
+        nex = -(-half_ // subs_per_exch)
+
+        def body(c, ex):
+            pb_t, ubflx_t, vbflx_t, us, vs, uc, vc = c
+            pb_t, ubflx_t, vbflx_t = exch_carries(
+                pb_t, ubflx_t, vbflx_t)
+            c = (pb_t, ubflx_t, vbflx_t, us, vs, uc, vc)
+            lll0 = 1 + (nb - 1) * half_ + ex * subs_per_exch
+
+            def sub_body(cc, k):
+                lll = lll0 + k
+                cc2 = substep_fn(nb, cc, lll)
+                # past-the-end substeps of the last partial exchange
+                # group are no-ops
+                keep = (lll <= nb * half_)
+                return jax.tree.map(
+                    lambda x2, x1: jnp.where(keep, x2, x1),
+                    cc2, cc), None
+
+            c, _ = lax.scan(sub_body, c, jnp.arange(subs_per_exch))
+            return c, None
+
+        c = carry
+        c, _ = lax.scan(body, c, jnp.arange(nex))
+        return c
+
+    out, sums = bt.run_blocks(
+        fld_w, sh, ubflxs, vbflxs, ubflxs_p, vbflxs_p,
+        m, n, lstep, dlt, par,
+        im1=sh.im1, jm1=sh.jm1,
+        iu=fld_w['iu'], iv=fld_w['iv'], ip=fld_w['ip'],
+        block_runner=runner)
+    out = {k: crop(v) for k, v in out.items()}
+    sums = {k: crop(v) for k, v in sums.items()}
+    return out, sums
+
+
 def make_barotp_shmap(mesh, subs_per_exch: int = SUBS_PER_EXCH):
     """Build a drop-in replacement for dynamics.barotp.barotp that runs
     the subcycle inside shard_map over `mesh` (axes ('y', 'x')) with
@@ -60,87 +168,11 @@ def make_barotp_shmap(mesh, subs_per_exch: int = SUBS_PER_EXCH):
                              par)
         fld = bt._prologue(grid, s, utotn, vtotn, m, n, par)
         per_i, per_j = grid.periodic_i, grid.periodic_j
-        half = lstep // 2
-
-        def wide(a):
-            """Halo-widen a local block to `margin` ghost rings."""
-            return halo_exchange(a, margin, ny, nx, per_i, per_j)
-
-        def crop(a):
-            return a[..., margin:-margin, margin:-margin]
-
-        def wide_tree(tree):
-            """Halo-widen a whole pytree with ONE exchange: stack all
-            leaves into a single (N, j, i) array, exchange, unstack —
-            4 collective-permutes total regardless of field count."""
-            leaves, treedef = jax.tree.flatten(tree)
-            sizes = [int(np.prod(l.shape[:-2])) if l.ndim > 2 else 1
-                     for l in leaves]
-            st = jnp.concatenate(
-                [l.reshape((-1,) + l.shape[-2:]) for l in leaves], 0)
-            st = wide(st)
-            outs = []
-            pos = 0
-            for l, sz in zip(leaves, sizes):
-                blk = st[pos:pos + sz]
-                outs.append(blk.reshape(l.shape[:-2] + blk.shape[-2:]))
-                pos += sz
-            return jax.tree.unflatten(treedef, outs)
-
 
         def local(fld_l, ubflxs, vbflxs, ubflxs_p, vbflxs_p):
-            # widen every per-step-constant field once (one exchange)
-            fld_w, ubflxs, vbflxs, ubflxs_p, vbflxs_p = wide_tree(
-                (fld_l, ubflxs, vbflxs, ubflxs_p, vbflxs_p))
-            sh = bt.local_shifts()
-            substep = bt.make_substep(fld_w, sh, lstep, dlt, par)
-
-            def exch_carries(pb_t, ubflx_t, vbflx_t):
-                """One stacked margin-M exchange of the working time
-                levels (the xctilr of mod_barotp.F90:387-397)."""
-                st = jnp.concatenate(
-                    [crop(pb_t), crop(ubflx_t), crop(vbflx_t)], axis=0)
-                st = wide(st)
-                return st[:2], st[2:4], st[4:6]
-
-            def runner(nb, substep_fn, half_, carry):
-                # carry fields live at the widened shape; every
-                # subs_per_exch substeps: crop, exchange, continue
-                nex = -(-half_ // subs_per_exch)
-
-                def body(c, ex):
-                    pb_t, ubflx_t, vbflx_t, us, vs, uc, vc = c
-                    pb_t, ubflx_t, vbflx_t = exch_carries(
-                        pb_t, ubflx_t, vbflx_t)
-                    c = (pb_t, ubflx_t, vbflx_t, us, vs, uc, vc)
-                    lll0 = 1 + (nb - 1) * half_ + ex * subs_per_exch
-
-                    def sub_body(cc, k):
-                        lll = lll0 + k
-                        cc2 = substep_fn(nb, cc, lll)
-                        # past-the-end substeps of the last partial
-                        # exchange group are no-ops
-                        keep = (lll <= nb * half_)
-                        return jax.tree.map(
-                            lambda x2, x1: jnp.where(keep, x2, x1),
-                            cc2, cc), None
-
-                    c, _ = lax.scan(sub_body, c, jnp.arange(subs_per_exch))
-                    return c, None
-
-                c = carry
-                c, _ = lax.scan(body, c, jnp.arange(nex))
-                return c
-
-            out, sums = bt.run_blocks(
-                fld_w, sh, ubflxs, vbflxs, ubflxs_p, vbflxs_p,
-                m, n, lstep, dlt, par,
-                im1=sh.im1, jm1=sh.jm1,
-                iu=fld_w['iu'], iv=fld_w['iv'], ip=fld_w['ip'],
-                block_runner=runner)
-            out = {k: crop(v) for k, v in out.items()}
-            sums = {k: crop(v) for k, v in sums.items()}
-            return out, sums
+            return barotp_block(ny, nx, per_i, per_j, fld_l, ubflxs,
+                                vbflxs, ubflxs_p, vbflxs_p, m, n, lstep,
+                                dlt, par, subs_per_exch)
 
         def specs_like(tree):
             return jax.tree.map(

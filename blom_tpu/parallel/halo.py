@@ -44,33 +44,30 @@ def halo_exchange(a, margin: int, ny: int, nx: int,
     m = margin
 
     # --- east-west over the 'x' ring --------------------------------
-    if nx > 1:
-        east_edge = a[..., -m:]
-        west_edge = a[..., :m]
-        from_west = lax.ppermute(east_edge, 'x', _ring_perm(nx, True))
-        from_east = lax.ppermute(west_edge, 'x', _ring_perm(nx, False))
-    else:
-        from_west = a[..., -m:]
-        from_east = a[..., :m]
+    # ppermute even when nx == 1 (identity permutation): keeps the
+    # 1-device program structurally identical to the multi-device one,
+    # which the bitwise mesh-invariance contract depends on.
+    east_edge = a[..., -m:]
+    west_edge = a[..., :m]
+    from_west = lax.ppermute(east_edge, 'x', _ring_perm(nx, True))
+    from_east = lax.ppermute(west_edge, 'x', _ring_perm(nx, False))
     if not periodic_i:
         xi = lax.axis_index('x') if nx > 1 else 0
-        from_west = jnp.where(xi == 0, 0., from_west)
-        from_east = jnp.where(xi == nx - 1, 0., from_east)
+        zw = jnp.zeros_like(from_west)
+        from_west = jnp.where(xi == 0, zw, from_west)
+        from_east = jnp.where(xi == nx - 1, zw, from_east)
     a = jnp.concatenate([from_west, a, from_east], axis=-1)
 
     # --- north-south over the 'y' ring ------------------------------
-    if ny > 1:
-        north_edge = a[..., -m:, :]
-        south_edge = a[..., :m, :]
-        from_south = lax.ppermute(north_edge, 'y', _ring_perm(ny, True))
-        from_north = lax.ppermute(south_edge, 'y', _ring_perm(ny, False))
-    else:
-        from_south = a[..., -m:, :]
-        from_north = a[..., :m, :]
+    north_edge = a[..., -m:, :]
+    south_edge = a[..., :m, :]
+    from_south = lax.ppermute(north_edge, 'y', _ring_perm(ny, True))
+    from_north = lax.ppermute(south_edge, 'y', _ring_perm(ny, False))
     if not periodic_j:
         yi = lax.axis_index('y') if ny > 1 else 0
-        from_south = jnp.where(yi == 0, 0., from_south)
-        from_north = jnp.where(yi == ny - 1, 0., from_north)
+        zs = jnp.zeros_like(from_south)
+        from_south = jnp.where(yi == 0, zs, from_south)
+        from_north = jnp.where(yi == ny - 1, zs, from_north)
     return jnp.concatenate([from_south, a, from_north], axis=-2)
 
 
