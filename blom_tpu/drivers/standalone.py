@@ -204,6 +204,18 @@ def build_gridfile(grfile: str, kdm: int, baclin: float,
                  forcing=forcing, dfl=dfl, swabs=swabs)
 
 
+def _state_mesh(s):
+    """The ('y','x') device mesh a state pytree is sharded over, or
+    None when unsharded / single-device."""
+    sh = getattr(s.dp, 'sharding', None)
+    mesh = getattr(sh, 'mesh', None)
+    if mesh is None or getattr(mesh, 'axis_names', None) != ('y', 'x'):
+        return None
+    if mesh.devices.size < 2:
+        return None
+    return mesh
+
+
 def run(model: Model, nsteps: int, dia_group=None, cnsvdi: bool = False,
         chk: bool = False):
     """Integrate `nsteps` baroclinic steps from the current clock.
@@ -227,12 +239,34 @@ def run(model: Model, nsteps: int, dia_group=None, cnsvdi: bool = False,
                    else ([dia_group] if with_dia else []))
     with_bgcm = any(isinstance(g, BgcmGroup) for g in groups_list)
 
-    two_step = make_two_step(model.grid, model.e, model.par,
+    # Auto-select the production multi-chip path when the state is
+    # mesh-sharded: the whole-step shard_map driver (bitwise
+    # PE-invariant, margin-k amortized halos) when the configuration
+    # supports it, else at least the margin-k barotropic solver
+    # (VERDICT r3 items 2/8; mod_barotp.F90:387-397 analogue).
+    step_fn = None
+    par = model.par
+    mesh = _state_mesh(s)
+    if mesh is not None:
+        if not (cnsvdi or with_bgcm):
+            try:
+                from ..dynamics.step_shmap import make_sharded_step
+                step_fn = make_sharded_step(
+                    mesh, model.grid, model.e, par, model.coeffs_i,
+                    model.coeffs_j, model.forcing, model.swabs)
+            except NotImplementedError:
+                step_fn = None
+        if step_fn is None and not model.grid.arctic \
+                and par.barotp_fn is None:
+            from ..dynamics.barotp_shmap import make_barotp_shmap
+            par = par._replace(barotp_fn=make_barotp_shmap(mesh))
+
+    two_step = make_two_step(model.grid, model.e, par,
                              model.coeffs_i, model.coeffs_j,
                              model.forcing, model.dfl, model.swabs,
                              model.bgc_forcing, with_dia=with_dia,
                              cnsvdi=cnsvdi, chk=chk,
-                             with_bgcm=with_bgcm)
+                             with_bgcm=with_bgcm, step_fn=step_fn)
 
     @jax.jit
     def run_pairs(carry, delt1_pairs):
@@ -262,11 +296,14 @@ def run(model: Model, nsteps: int, dia_group=None, cnsvdi: bool = False,
         def tail(s, dfl, d):
             bout = [] if cnsvdi else None
             bgcd = [] if with_bgcm else None
-            s, dfl = blom_step(model.grid, model.e, model.par,
-                               model.coeffs_i, model.coeffs_j,
-                               s, model.forcing, dfl, 0, 1, d,
-                               model.swabs, model.bgc_forcing,
-                               budget_out=bout, bgc_diag_out=bgcd)
+            if step_fn is not None:
+                s, dfl = step_fn(s, dfl, 0, 1, d)
+            else:
+                s, dfl = blom_step(model.grid, model.e, par,
+                                   model.coeffs_i, model.coeffs_j,
+                                   s, model.forcing, dfl, 0, 1, d,
+                                   model.swabs, model.bgc_forcing,
+                                   budget_out=bout, bgc_diag_out=bgcd)
             tys = {}
             if cnsvdi:
                 tys['budgets'] = jax.tree.map(

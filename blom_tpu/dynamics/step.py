@@ -319,7 +319,8 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
                   swabs: Optional[SwabsFields] = None,
                   bgc_forcing=None,
                   with_dia: bool = False, cnsvdi: bool = False,
-                  chk: bool = False, with_bgcm: bool = False):
+                  chk: bool = False, with_bgcm: bool = False,
+                  step_fn=None):
     """Return a scan body advancing two steps (both time-level
     parities).  First step of the pair uses (m, n) = (0, 1) — the parity
     of the very first model step (nstep_pre = 0).
@@ -330,14 +331,26 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
         step at the new time level (diaacc, :239);
       cnsvdi   — ys gain per-checkpoint budget sums (budget_sums 1..7);
       chk      — ys gain a per-step all-finite flag (chkvar, :252).
-    With none of these set, carry is (state, dfl) and ys is None."""
+    With none of these set, carry is (state, dfl) and ys is None.
+
+    `step_fn(s, dfl, m, n, delt1) -> (s, dfl)` overrides the plain
+    blom_step — the sharded whole-step driver
+    (step_shmap.make_sharded_step) plugs in here; in-step budget/BGC
+    hooks are unsupported with an override."""
+    if step_fn is not None and (cnsvdi or with_bgcm):
+        raise NotImplementedError(
+            'in-step budget/BGC hooks with a step_fn override')
 
     def one(s, dfl_c, m, n, d):
         bout = [] if cnsvdi else None
         bgcd = [] if with_bgcm else None
-        s, dfl_c = blom_step(grid, e, par, coeffs_i, coeffs_j, s,
-                             forcing, dfl_c, m, n, d, swabs, bgc_forcing,
-                             budget_out=bout, bgc_diag_out=bgcd)
+        if step_fn is not None:
+            s, dfl_c = step_fn(s, dfl_c, m, n, d)
+        else:
+            s, dfl_c = blom_step(grid, e, par, coeffs_i, coeffs_j, s,
+                                 forcing, dfl_c, m, n, d, swabs,
+                                 bgc_forcing, budget_out=bout,
+                                 bgc_diag_out=bgcd)
         ys = {}
         if cnsvdi:
             import jax as _jax
