@@ -364,8 +364,13 @@ def ale_regrid_remap(grid: Grid, e: eos.EosParams, ale: AleParams,
     rc_v = _recon(ale, pv_old * qv, s.v[n], ale.velocity_limiting,
                   pc_upper=ale.velocity_pc_upper)
 
-    (means_p, (u_mean,), (v_mean,)) = h3.remap_groups([
-        (rcs_p, p_dst), ([rc_u], pu_new), ([rc_v], pv_new)])
+    # bottom_only_empties: the regrid's dpmin_interior clamp guarantees
+    # interior destination layers are non-vanishing, which drops the
+    # per-edge point/found carries from the remap scan (its dominant
+    # cost at production size)
+    (means_p, (u_mean,), (v_mean,)) = h3.remap_groups(
+        [(rcs_p, p_dst), ([rc_u], pu_new), ([rc_v], pv_new)],
+        bottom_only_empties=True)
 
     temp_new = means_p[0] * ip
     saln_new = means_p[1] * ip

@@ -443,7 +443,7 @@ def integrate_to(rc: Recon, pq):
     return acc
 
 
-def remap_groups(groups):
+def remap_groups(groups, bottom_only_empties: bool = False):
     """Fused multi-field remap: one `lax.scan` over source layers for
     several (reconstructions, destination-grid) groups at once.
 
@@ -476,6 +476,68 @@ def remap_groups(groups):
     xs = tuple((p[:-1], dx) + tuple(c for cs in coeffs for c in cs)
                for p, dx, coeffs, _ in prep)
     pqs = tuple(p_dst for _, _, _, p_dst in prep)
+    # quartic terms can be dropped when every reconstruction is
+    # parabolic (the PPM production path) — ~40% fewer remap flops
+    parabolic = all(rc.c3 is None for rc_list, _ in groups
+                    for rc in rc_list)
+
+    if bottom_only_empties:
+        # Fast path for the ALE production regrid: interior destination
+        # layers are >= dpmin_interior thick (regrid_nudge's monotonic
+        # clamp), so empty destination layers occur only where p_dst is
+        # capped at the column bottom.  The per-edge point-value/found
+        # carries (the dominant HBM traffic and flops of the general
+        # scan) are then unnecessary: the collapsed layers' value is
+        # the deepest wet source layer's lower-edge value.
+        def init_group(g):
+            _, _, coeffs, p_dst = prep[g]
+            z = jnp.zeros(p_dst.shape, p_dst.dtype)
+            return tuple(z for _ in coeffs)
+
+        def body(carry, xs_k):
+            new_carry = []
+            for g, xg in enumerate(xs_k):
+                accs = carry[g]
+                p_up, dxk = xg[0], xg[1]
+                pq = pqs[g]
+                dxik = 1.0 / jnp.maximum(dxk, heps)
+                x = jnp.clip((pq - p_up[None]) * dxik[None], 0., 1.)
+                x2 = x * x
+                accs2 = []
+                for t in range(len(accs)):
+                    c0, c1, c2, c3, c4 = xg[2 + 5 * t: 7 + 5 * t]
+                    poly = (c0[None] * x + .5 * c1[None] * x2
+                            + (1. / 3.) * c2[None] * x2 * x)
+                    if not parabolic:
+                        poly = poly + .25 * c3[None] * x2 * x2 \
+                            + .2 * c4[None] * x2 * x2 * x
+                    accs2.append(accs[t] + dxk[None] * poly)
+                new_carry.append(tuple(accs2))
+            return tuple(new_carry), None
+
+        init = tuple(init_group(g) for g in range(len(prep)))
+        final, _ = jax.lax.scan(body, init, xs, unroll=8)
+
+        out = []
+        for g, accs in enumerate(final):
+            p, dx, coeffs, p_dst = prep[g]
+            # deepest wet source layer (dx > heps) per column
+            wet = dx > heps
+            below = jnp.cumsum(wet[::-1], axis=0)[::-1]
+            deepest = wet & (below == 1)
+            dpd = p_dst[1:] - p_dst[:-1]
+            dpdi = 1.0 / jnp.maximum(dpd, heps)
+            means_g = []
+            for t, acc in enumerate(accs):
+                c0, c1, c2, c3, c4 = coeffs[t]
+                ev1 = c0 + c1 + c2
+                if not parabolic:
+                    ev1 = ev1 + c3 + c4
+                botv = jnp.sum(jnp.where(deepest, ev1, 0.), axis=0)
+                means = (acc[1:] - acc[:-1]) * dpdi
+                means_g.append(jnp.where(dpd > heps, means, botv[None]))
+            out.append(means_g)
+        return out
 
     def init_group(g):
         _, _, coeffs, p_dst = prep[g]

@@ -123,3 +123,34 @@ def test_remap_groups_matches_remap_means():
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(got[1][0]), np.asarray(want2),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_remap_groups_bottom_only_fast_path():
+    """The ALE fast path (bottom_only_empties=True) is exactly
+    equivalent to the general scan when interior destination layers are
+    non-vanishing and empties occur only at the bottom cap — the
+    invariant regrid_nudge's dpmin_interior clamp provides."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    kk, H = 9, (6,)
+    hsrc = rng.uniform(.3, 2., (kk,) + H)
+    # a land column: zero-thickness source everywhere
+    hsrc[:, 0] = 0.
+    p = jnp.asarray(np.concatenate([np.zeros((1,) + H),
+                                    np.cumsum(hsrc, 0)], 0))
+    p_bot = np.asarray(p)[-1]
+    # destination: non-vanishing interior, capped at the bottom so the
+    # last few layers collapse to p_bot
+    hdst = rng.uniform(.2, 2., (kk,) + H)
+    pd = np.concatenate([np.zeros((1,) + H), np.cumsum(hdst, 0)], 0)
+    pd = np.minimum(pd * 1.4, p_bot[None])
+    pd = jnp.asarray(pd)
+
+    tms = [jnp.asarray(rng.normal(size=(kk,) + H)) for _ in range(2)]
+    rcs = [h3.ppm_reconstruct(p, tm) for tm in tms]
+
+    slow = h3.remap_groups([(rcs, pd)])
+    fast = h3.remap_groups([(rcs, pd)], bottom_only_empties=True)
+    for a, b in zip(slow[0], fast[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
