@@ -43,6 +43,11 @@ class VmixParams(NamedTuple):
     kv_conv: float = .1       # convective-instability diffusivity [m2 s-1]
     visc_bg: float = 1.e-4    # background viscosity [m2 s-1]
     brine_mlbase_frac: float = 1.0
+    # tidal-dissipation driven mixing (tdmflg, mod_difest.F90:2929-2941):
+    # twedon = tidal wave energy dissipation over bottom N [kg s-2],
+    # (jdm, idm) array from phys.tidaldissip; None disables the term
+    twedon: object = None
+    tdmmax: float = .1        # cap on the tidal diffusivity [m2 s-1]
 
 
 @jax.tree_util.register_dataclass
@@ -151,6 +156,35 @@ def ale_forcing(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
     return dict(t_sw_nonloc=t_sw, s_br_nonloc=s_br, buoyfl=buoyfl)
 
 
+def _tidal_term(grid: Grid, par: VmixParams, dp, p, n2):
+    """Tidally driven diapycnal diffusivity at interior interfaces
+    (the tdmflg branch of the reference's diffusivity estimate,
+    mod_difest.F90:2929-2941): bottom-intensified vertical structure
+    times the local dissipation energy twedon * N_bottom, divided by
+    N^2.  Returns (kk-1, H) aligned with the interior-interface
+    diffusivities."""
+    from .tidaldissip import tidal_diffusivity
+
+    # thickness-weighted mean BV frequency over the bottom dpnbav
+    # region (mod_difest.F90:193,2686-2706)
+    dpnbav = 250. * onem
+    n2_pad_l = jnp.concatenate([n2[:1], n2, n2[-1:]], axis=0)
+    bvf_layer = jnp.sqrt(jnp.maximum(
+        .5 * (n2_pad_l[:-1] + n2_pad_l[1:]), 0.))
+    pbot = p[-1]
+    q = jnp.maximum(0., p[1:] - jnp.maximum(pbot[None] - dpnbav, p[:-1]))
+    dps = jnp.sum(q, axis=0)
+    bvfbot = jnp.sum(bvf_layer * q, axis=0) / jnp.maximum(dps, epsilp)
+    # layer-mean N^2 from the adjacent interface values
+    n2_pad = jnp.concatenate([n2[:1], n2, n2[-1:]], axis=0)   # (kk+1, H)
+    bvfsq_layer = jnp.maximum(.5 * (n2_pad[:-1] + n2_pad[1:]), 1.e-12)
+    ktid_layer = tidal_diffusivity(
+        jnp.asarray(par.twedon, dp.dtype), bvfbot, bvfsq_layer, p, dp,
+        grav, plat=grid.plat)                                  # (kk, H)
+    ktid = .5 * (ktid_layer[:-1] + ktid_layer[1:])             # (kk-1, H)
+    return jnp.clip(ktid, 0., par.tdmmax)
+
+
 def difest_vertical(grid: Grid, e: eos.EosParams, s: State,
                     forcing: Forcing, swabs: SwabsFields,
                     par: VmixParams, n: int) -> VmixFields:
@@ -189,6 +223,10 @@ def difest_vertical(grid: Grid, e: eos.EosParams, s: State,
 
     kdiff = nu_shear + conv + par.bdmc2
     kvisc = jnp.maximum(nu_shear + conv + par.visc_bg, par.nubmin)
+
+    if par.twedon is not None:
+        kdiff = kdiff + _tidal_term(grid, par, dp, p, n2)
+        kvisc = kvisc + _tidal_term(grid, par, dp, p, n2)
 
     zero_top = jnp.zeros_like(kdiff[:1])
     Kdiff = jnp.concatenate([zero_top, kdiff], axis=0) * grid.ip

@@ -130,3 +130,38 @@ def test_langmuir_enhancement(model):
     k2 = np.asarray(v2.Kdiff_t)[1:, wet]
     pos = k1 > 1e-10
     np.testing.assert_allclose(k2[pos] / k1[pos], 2.5, rtol=1e-9)
+
+
+def test_tidal_dissipation_wired_into_diffusivity():
+    """VmixParams.twedon feeds the tidally driven diapycnal diffusivity
+    (the tdmflg branch, mod_difest.F90:2929-2941): bottom-intensified,
+    proportional to the dissipation, zero when disabled."""
+    import numpy as np
+    import jax.numpy as jnp
+    from blom_tpu.drivers import standalone
+    from blom_tpu.phys.vmix import VmixParams, difest_vertical
+
+    model = standalone.build_fuk95(itdm=24, jtdm=8, kdm=10)
+    n = 1
+    base = difest_vertical(model.grid, model.e, model.state,
+                           model.forcing, model.swabs, VmixParams(), n)
+
+    twedon = jnp.full(model.grid.shape, 5e-2)
+    par_t = VmixParams(twedon=twedon)
+    tid = difest_vertical(model.grid, model.e, model.state,
+                          model.forcing, model.swabs, par_t, n)
+
+    wet = np.asarray(model.grid.ip) > 0
+    dk = np.asarray(tid.Kdiff_t - base.Kdiff_t)[:, wet]
+    assert (dk >= -1e-15).all()
+    assert dk.max() > 0., 'tidal term added nothing'
+    # bottom intensification: the extra diffusivity in the deepest
+    # interior interface dominates the shallowest
+    assert dk[-1].mean() > dk[1].mean()
+    # doubling the dissipation doubles the (uncapped) extra diffusivity
+    tid2 = difest_vertical(model.grid, model.e, model.state,
+                           model.forcing, model.swabs,
+                           VmixParams(twedon=2. * twedon), n)
+    dk2 = np.asarray(tid2.Kdiff_t - base.Kdiff_t)[:, wet]
+    mask = dk < 0.5 * VmixParams().tdmmax
+    np.testing.assert_allclose(dk2[mask], 2. * dk[mask], rtol=1e-6)
