@@ -192,6 +192,7 @@ def test_sinking_moves_mass_downward(par):
 # full step in the model
 # ----------------------------------------------------------------- #
 
+@pytest.mark.slow
 def test_hamocc_step_in_model(par):
     """Wire the BGC into the fuk95 model and run steps: inventories of
     P stay conserved up to air-sea-free processes, all fields finite,
@@ -238,6 +239,7 @@ def _with_bgc_tracers(model):
     return dataclasses.replace(model.state, trc=z, trcold=zo)
 
 
+@pytest.mark.slow
 def test_bgc_e2e_fuk95(par):
     """Full dynamics + BGC end-to-end: the BGC tracer block rides the
     CPPM advection and ALE remap; inventories stay finite and total

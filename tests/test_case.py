@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 LIMITS_DECK = """
 &LIMITS
@@ -31,6 +32,7 @@ LIMITS_DECK = """
 """
 
 
+@pytest.mark.slow
 def test_build_and_run_case(tmp_path):
     """An unmodified-format BLOM limits deck builds a model; a short
     run produces diagnostics, a restart, run.status and a checksum

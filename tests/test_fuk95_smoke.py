@@ -44,6 +44,7 @@ def test_step_runs_and_is_finite(model):
     assert clock.nstep == 4
 
 
+@pytest.mark.slow
 def test_mass_conservation_20_steps(model):
     g = model.grid
     ip = np.asarray(g.ip)
@@ -68,6 +69,7 @@ def test_mass_conservation_20_steps(model):
     assert np.abs(np.asarray(s.v)).max() < 2.0
 
 
+@pytest.mark.slow
 def test_jet_adjustment_generates_flow(model):
     # The unbalanced density front must generate along-channel flow (v)
     # within a few steps (geostrophic adjustment of the fuk95 front).

@@ -129,6 +129,7 @@ def test_fill_global():
 # climatological initial conditions
 # ----------------------------------------------------------------- #
 
+@pytest.mark.slow
 def test_inicon_woa_builds_runnable_state():
     """Synthetic z-climatology -> initial state -> a few stable model
     steps (the inicon_woa_file path, mod_inicon.F90:343-561)."""

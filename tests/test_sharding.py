@@ -17,6 +17,7 @@ from blom_tpu.parallel import mesh as pmesh
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+@pytest.mark.slow
 def test_single_vs_8device_mesh():
     model = standalone.build_fuk95(itdm=64, jtdm=32, kdm=6)
 
@@ -108,6 +109,7 @@ def test_budget_sums_bitwise_sharding_invariant():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+@pytest.mark.slow
 def test_multi_step_scan_sharded_with_gm():
     """A 2-step jitted scan with the full production physics (EG
     diffusivity + GM + isopycnal diffusion enabled) agrees between 1
@@ -159,6 +161,7 @@ def test_multi_step_scan_sharded_with_gm():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+@pytest.mark.slow
 def test_barotp_heavy_sharded():
     """A barotropic-solver-heavy configuration (large lstep => many
     substeps with halo exchanges per baroclinic step) stays

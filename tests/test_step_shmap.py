@@ -77,6 +77,7 @@ def _run_unsharded(model, nsteps):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+@pytest.mark.slow
 def test_step_shmap_bitwise_across_meshes():
     """1x1 vs 2x4 vs 4x2 vs 1x8 meshes produce BIT-IDENTICAL states
     after 4 steps — the reference's any-decomposition PE-invariance
@@ -96,6 +97,7 @@ def test_step_shmap_bitwise_across_meshes():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+@pytest.mark.slow
 def test_step_shmap_vs_unsharded_2steps():
     """The shard_map step matches the plain (GSPMD) blom_step to
     FMA-level roundoff over 2 steps.  Not bitwise by construction: the
