@@ -37,6 +37,7 @@ class DiaCtx(NamedTuple):
     swabs: object = None   # phys.swabs.SwabsFields
     tridx: dict = None     # tracer indices {'itriag','itrtke','itrgls'}
     cesm: dict = None      # coupled-interval forcing (getfrc_cesm dict)
+    e: object = None       # core.eos.EosParams (falls back to defaults)
 
 
 def _cesm(name):
@@ -120,18 +121,111 @@ def _bfsq(c, n):
     return jnp.concatenate([bv[:1], bv], axis=0)
 
 
-def _mld(c, n):
-    """Mixed-layer depth, density criterion (lev82-like,
-    mod_cmnfld_routines.F90:933-1084)."""
-    from ..core.constants import onem
+_ONECM = 98.06      # 1 cm of pressure thickness [Pa] (mod_constants)
+_DBCL82 = 3.e-4     # Levitus (1982) buoyancy criterion [m s-2]
+_DRCB04 = .03       # de Boyer Montegut (2004) density criterion [kg m-3]
+_ZREFB04 = 10.      # de Boyer Montegut reference depth [m]
+
+
+def _mld_walk(z_mid, crit_val, crit, wet, z_bot, z0, c0):
+    """Shared crossing walk of both MLD estimators
+    (cmnfld_mldl82/mldb04, mod_cmnfld_routines.F90:933-1084): step down
+    through wet layers carrying the last sub-critical (z, value) pair;
+    at the first layer whose criterion value exceeds `crit`,
+    interpolate the crossing depth linearly in the criterion value;
+    never crossing yields the bottom depth.  All (kk, H) dense."""
+    from jax import lax
+
+    def body(carry, xs):
+        zup, cup, done, out = carry
+        zlo, clo, w = xs
+        cross = w & (clo > crit) & (~done)
+        cupc = jnp.minimum(cup, crit - 1e-14)
+        zx = (zup * (clo - crit) + zlo * (crit - cupc)) \
+            / jnp.maximum(clo - cupc, 1e-30)
+        out = jnp.where(cross, zx, out)
+        done = done | cross
+        adv = w & (~done)
+        zup = jnp.where(adv, zlo, zup)
+        cup = jnp.where(adv, clo, cup)
+        return (zup, cup, done, out), None
+
+    init = (z0, c0, jnp.zeros(z0.shape, bool), z_bot)
+    (zu, cu, done, out), _ = lax.scan(
+        body, init, (z_mid, crit_val, wet))
+    return out
+
+
+def _mldl82(c, n):
+    """Levitus (1982) mixed-layer depth: buoyancy difference of the
+    surface water displaced to the local mid-layer pressure exceeds
+    dbcl82 (cmnfld_mldl82, mod_cmnfld_routines.F90:933-996).  Depth is
+    taken as pressure/onem (the model carries p, not geometric z)."""
+    from ..core import eos
+    from ..core.constants import grav, onem
     from ..core.state import cumulative_p
     p = cumulative_p(c.s.dp[n]) * c.g.ip
-    sig = c.s.sigma[n]
-    z_mid = .5 * (p[:-1] + p[1:]) / onem
-    deeper = sig > sig[0] + .03
-    kk = c.s.dp.shape[1]
-    mld = jnp.min(jnp.where(deeper, z_mid, p[kk] / onem), axis=0)
-    return jnp.maximum(mld, 1.0) * c.g.ip
+    dp_k = c.s.dp[n]
+    temp, saln = c.s.temp[n], c.s.saln[n]
+    p_mid = p[:-1] + .5 * dp_k
+    z_mid = p_mid / onem
+    rho_srf = eos.rho(p_mid[1:], temp[0][None], saln[0][None])
+    rho_loc = eos.rho(p_mid[1:], temp[1:], saln[1:])
+    db = grav * (1. - rho_srf / jnp.maximum(rho_loc, 1.))
+    wet = dp_k[1:] > _ONECM
+    z_bot = p[-1] / onem
+    out = _mld_walk(z_mid[1:], db, _DBCL82, wet, z_bot,
+                    z_mid[0], jnp.zeros_like(z_bot))
+    return out * c.g.ip
+
+
+def _mldb04(c, n):
+    """de Boyer Montegut et al. (2004) mixed-layer depth: potential
+    density (sig0) exceeds its value at the 10 m reference depth by
+    drcb04 (cmnfld_mldb04, mod_cmnfld_routines.F90:998-1084)."""
+    from ..core import eos
+    from ..core.constants import onem
+    from ..core.state import cumulative_p
+    e = c.e if c.e is not None else _default_eos()
+    p = cumulative_p(c.s.dp[n]) * c.g.ip
+    dp_k = c.s.dp[n]
+    z_mid = (p[:-1] + .5 * dp_k) / onem
+    s0 = eos.sig0(e, c.s.temp[n], c.s.saln[n])
+
+    # sig0 at the reference depth: linear interpolation between the
+    # bracketing mid-layer depths (mod_cmnfld_routines.F90:1029-1039)
+    above = z_mid <= _ZREFB04
+    nmax = jnp.maximum(jnp.sum(above.astype(jnp.int32), axis=0), 1)
+    kup = nmax - 1                                   # deepest above ref
+    kidx = jnp.arange(dp_k.shape[0])[
+        (slice(None),) + (None,) * (dp_k.ndim - 1)]
+    pick = lambda a, kq: jnp.sum(            # noqa: E731
+        jnp.where(kidx == kq[None], a, 0.), axis=0)
+    klo = jnp.minimum(kup + 1, dp_k.shape[0] - 1)
+    zu, zl = pick(z_mid, kup), pick(z_mid, klo)
+    su, sl = pick(s0, kup), pick(s0, klo)
+    w = jnp.clip((_ZREFB04 - zu) / jnp.maximum(zl - zu, 1e-12), 0., 1.)
+    sig0ref = (1. - w) * su + w * sl
+
+    ds = s0 - sig0ref[None]
+    wet = (dp_k > _ONECM) & (z_mid > _ZREFB04)
+    z_bot = p[-1] / onem
+    out = _mld_walk(z_mid, ds, _DRCB04, wet, z_bot,
+                    jnp.full_like(z_bot, _ZREFB04),
+                    jnp.zeros_like(z_bot))
+    # shallow columns: full depth (mod_cmnfld_routines.F90:1014-1018)
+    out = jnp.where(z_bot < _ZREFB04, z_bot, out)
+    return out * c.g.ip
+
+
+def _default_eos():
+    global _EOS_DEFAULT
+    try:
+        return _EOS_DEFAULT
+    except NameError:
+        from ..core import eos
+        _EOS_DEFAULT = eos.init_eos(pref=0.)
+        return _EOS_DEFAULT
 
 
 def _isotherm_depth(tcrit):
@@ -219,8 +313,8 @@ FIELD_REGISTRY: Dict[str, Tuple[str, Callable]] = {
     'tbot': ('2d', _bottom(lambda c, n: c.s.temp[n])),
     'sigmx': ('2d', lambda c, n: c.s.sigma[n][0]),
     'btmstr': ('2d', _btmstr),
-    'mldl82': ('2d', _mld),
-    'mldb04': ('2d', _mld),
+    'mldl82': ('2d', _mldl82),
+    'mldb04': ('2d', _mldb04),
     't20d': ('2d', _isotherm_depth(20.)),
     't17d': ('2d', _isotherm_depth(17.)),
     # forcing-sourced 2-D fields

@@ -188,3 +188,27 @@ def test_sharded_restart_roundtrip(tmp_path):
                                   np.asarray(model.state.trc))
     assert c2.nstep == model.clock.nstep
     assert c2.date.to_ymd() == model.clock.date.to_ymd()
+
+
+def test_mldl82_and_mldb04_are_distinct_estimators():
+    """The two MLD diagnostics implement the reference's two methods
+    (cmnfld_mldl82 Levitus 1982 buoyancy criterion / cmnfld_mldb04
+    de Boyer Montegut 2004 sig0-vs-10m criterion,
+    mod_cmnfld_routines.F90:933-1084), not one shared extractor."""
+    import numpy as np
+    from blom_tpu.drivers import standalone
+    from blom_tpu.io.dia import DiaCtx, _mldl82, _mldb04
+
+    model = standalone.build_fuk95(itdm=48, jtdm=16, kdm=10)
+    s, _ = standalone.run(model, 4)
+    c = DiaCtx(model.grid, s, e=model.e)
+    a = np.asarray(_mldl82(c, 1))
+    b = np.asarray(_mldb04(c, 1))
+    wet = np.asarray(model.grid.ip) > 0
+    depth = np.asarray(model.grid.depths)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert (a[wet] > 0.).all() and (b[wet] > 0.).all()
+    assert (a[wet] <= depth[wet] + 1.).all()
+    assert (b[wet] <= depth[wet] + 1.).all()
+    # the methods must not be the same function of the state
+    assert np.abs(a[wet] - b[wet]).max() > 1e-6
