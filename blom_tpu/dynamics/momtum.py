@@ -54,6 +54,128 @@ def _hfharm(a, b):
     return a * b / (a + b)
 
 
+
+def _dpmx(grid: Grid, dp_m):
+    """Neighborhood thickness maxima at q points
+    (mod_momtum.F90:355-396)."""
+    im1, jm1 = grid.im1, grid.jm1
+    du = grid.iu * (dp_m + im1(dp_m))
+    dv = grid.iv * (dp_m + jm1(dp_m))
+    return jnp.maximum(8. * onem,
+                       jnp.maximum(jnp.maximum(du, jm1(du)),
+                                   jnp.maximum(dv, im1(dv))))
+
+
+def potvor_field(grid: Grid, dp_m, utotm, vtotm, dpmx=None):
+    """Absolute/potential vorticity at q points, interior + lateral
+    boundary treatment (mod_momtum.F90:473-575)."""
+    ip, iu, iv, iq = grid.ip, grid.iu, grid.iv, grid.iq
+    im1, ip1, jm1 = grid.im1, grid.ip1, grid.jm1
+    jp1p = lambda a: grid.jp1(a, 'p')           # noqa: E731
+    cutoff = onem
+    if dpmx is None:
+        dpmx = _dpmx(grid, dp_m)
+
+    Vv = vtotm * grid.scvy        # zero where dry
+    Uu = utotm * grid.scux
+    v_e = jnp.where(iv > 0, Vv, slip * im1(Vv))
+    v_w = jnp.where(im1(iv) > 0, im1(Vv), slip * Vv)
+    u_nn = jnp.where(iu > 0, Uu, slip * jm1(Uu))
+    u_ss = jnp.where(jm1(iu) > 0, jm1(Uu), slip * Uu)
+    vort_b = (v_e - v_w - (u_nn - u_ss)) * grid.scq2i
+    vort_i = (Vv - im1(Vv) - (Uu - jm1(Uu))) * grid.scq2i
+    vort = jnp.where(iq > 0, vort_i, vort_b)
+    absvor = vort + grid.corioq
+
+    dpvor_i = .125 * jnp.maximum(
+        2. * (dp_m + im1(dp_m) + jm1(dp_m) + im1(jm1(dp_m))),
+        jnp.maximum(jnp.maximum(dpmx, im1(dpmx)),
+                    jnp.maximum(jnp.maximum(ip1(dpmx), jm1(dpmx)),
+                                jp1p(dpmx))))
+    # boundary candidates (v-section ends first, u-section ends override;
+    # mod_momtum.F90:484-575 loop order)
+    cand_ve = .125 * jnp.maximum(4. * (dp_m + jm1(dp_m)),
+                                 jnp.maximum(dpmx, ip1(dpmx)))
+    cand_vw = .125 * jnp.maximum(4. * im1(dp_m + jm1(dp_m)),
+                                 jnp.maximum(im1(dpmx), dpmx))
+    cand_un = .125 * jnp.maximum(4. * (dp_m + im1(dp_m)),
+                                 jnp.maximum(dpmx, jp1p(dpmx)))
+    cand_us = .125 * jnp.maximum(4. * jm1(dp_m + im1(dp_m)),
+                                 jnp.maximum(jm1(dpmx), dpmx))
+    dpvor_b = jnp.full_like(dp_m, cutoff)
+    dpvor_b = jnp.where(iv > 0, cand_ve, dpvor_b)
+    dpvor_b = jnp.where(im1(iv) > 0, cand_vw, dpvor_b)
+    dpvor_b = jnp.where(iu > 0, cand_un, dpvor_b)
+    dpvor_b = jnp.where(jm1(iu) > 0, cand_us, dpvor_b)
+    dpvor = jnp.where(iq > 0, dpvor_i, dpvor_b)
+    potvor = absvor / dpvor
+
+    return potvor
+
+
+def coriolis_terms(grid: Grid, dp_m, utotm, vtotm, uflux0, vflux0,
+                   potvor, mommth: str):
+    """Coriolis advection terms cau/cav for the three vorticity schemes
+    (enscon/enecon/enedis, mod_momtum.F90:664-838)."""
+    iu, iv = grid.iu, grid.iv
+    im1, ip1, jm1 = grid.im1, grid.ip1, grid.jm1
+    jp1q = lambda a: grid.jp1(a, 'q')           # noqa: E731
+    jp1vv = lambda a: grid.jp1(a, 'v', True)    # noqa: E731
+
+    if mommth == 'enscon':
+        cau = .125 * (vflux0 + jp1vv(vflux0) + im1(vflux0) + im1(jp1vv(vflux0))) \
+            * (potvor + jp1q(potvor)) * iu
+        cav = -.125 * (uflux0 + ip1(uflux0) + jm1(uflux0) + ip1(jm1(uflux0))) \
+            * (potvor + ip1(potvor)) * iv
+    elif mommth == 'enecon':
+        cau = .25 * ((vflux0 + im1(vflux0)) * potvor
+                     + (jp1vv(vflux0) + im1(jp1vv(vflux0))) * jp1q(potvor)) * iu
+        cav = -.25 * ((uflux0 + jm1(uflux0)) * potvor
+                      + ip1(uflux0 + jm1(uflux0)) * ip1(potvor)) * iv
+    elif mommth == 'enedis':
+        # Sadourny energy-conserving scheme with upwind-selected
+        # min/max mass fluxes for slight dissipation
+        # (mod_momtum.F90:664-712 min/max setup, :765-812 fluxes)
+        c1, c2, c3, slp_ = 1. - 1.5 * .5, 1. - .5, 2., .5
+
+        def hminmax(hc, hm):
+            hm2 = jnp.where(jnp.abs(hc) < .1 * jnp.abs(hm), 10. * hc, hm)
+            adj = jnp.where(
+                jnp.abs(hc) < c2 * jnp.abs(hm2),
+                3. * hc + (1. - c2 * 3.) * hm2,
+                jnp.where(jnp.abs(hc) <= c3 * jnp.abs(hm2), hm2,
+                          slp_ * hc + (1. - c3 * slp_) * hm2))
+            hc2 = jnp.where(jnp.abs(hc) > c1 * jnp.abs(hm2), adj, hc)
+            return jnp.minimum(hc2, hm2), jnp.maximum(hc2, hm2)
+
+        uh_min, uh_max = hminmax(.5 * utotm * (dp_m + im1(dp_m)),
+                                 uflux0)
+        vh_min, vh_max = hminmax(.5 * vtotm * (dp_m + jm1(dp_m)),
+                                 vflux0)
+
+        def upw(pv, sgn, hmx, hmn, flip):
+            s_ = pv * sgn
+            sel = jnp.where(s_ == 0., .5 * (hmx + hmn),
+                            jnp.where((s_ < 0.) != flip, hmx, hmn))
+            return pv * sel
+
+        t1u = upw(jp1q(potvor), utotm, jp1vv(vh_max) + im1(jp1vv(vh_max)),
+                  jp1vv(vh_min) + im1(jp1vv(vh_min)), False)
+        t2u = upw(potvor, utotm, vh_max + im1(vh_max),
+                  vh_min + im1(vh_min), False)
+        cau = .25 * (t1u + t2u) * iu
+
+        t1v = upw(ip1(potvor), vtotm, ip1(uh_max) + jm1(ip1(uh_max)),
+                  ip1(uh_min) + jm1(ip1(uh_min)), True)
+        t2v = upw(potvor, vtotm, uh_max + jm1(uh_max),
+                  uh_min + jm1(uh_min), True)
+        cav = -.25 * (t1v + t2v) * iv
+    else:
+        raise NotImplementedError(f'mommth={mommth!r}')
+
+    return cau, cav
+
+
 def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
            difwgt, m: int, n: int, delt1, dlt, vcoord_isopyc: bool = False):
     """Advance baroclinic velocity from old level n using mid level m.
@@ -123,11 +245,7 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
     vflux0 = vtotm * jnp.maximum(dpv_m, cutoff) * iv
 
     # ---- dpmx: neighborhood thickness maxima (mod_momtum.F90:373-410)
-    du = iu * (dp_m + im1(dp_m))
-    dv = iv * (dp_m + jm1(dp_m))
-    dpmx = jnp.maximum(8. * cutoff,
-                       jnp.maximum(jnp.maximum(du, jm1(du)),
-                                   jnp.maximum(dv, im1(dv))))
+    dpmx = _dpmx(grid, dp_m)
 
     # ---- sidewall-aware auxiliary velocities (mod_momtum.F90:434-470)
     dpu_col = pu[1:]  # pu(k+1)
@@ -149,39 +267,7 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
     dl2v = (vtotn - .25 * (jp1vv(vtotn) + jm1(vtotn) + via + vib)) * iv
 
     # ---- vorticity / potential vorticity at q (mod_momtum.F90:473-575)
-    Vv = vtotm * grid.scvy        # zero where dry
-    Uu = utotm * grid.scux
-    v_e = jnp.where(iv > 0, Vv, slip * im1(Vv))
-    v_w = jnp.where(im1(iv) > 0, im1(Vv), slip * Vv)
-    u_nn = jnp.where(iu > 0, Uu, slip * jm1(Uu))
-    u_ss = jnp.where(jm1(iu) > 0, jm1(Uu), slip * Uu)
-    vort_b = (v_e - v_w - (u_nn - u_ss)) * grid.scq2i
-    vort_i = (Vv - im1(Vv) - (Uu - jm1(Uu))) * grid.scq2i
-    vort = jnp.where(iq > 0, vort_i, vort_b)
-    absvor = vort + grid.corioq
-
-    dpvor_i = .125 * jnp.maximum(
-        2. * (dp_m + im1(dp_m) + jm1(dp_m) + im1(jm1(dp_m))),
-        jnp.maximum(jnp.maximum(dpmx, im1(dpmx)),
-                    jnp.maximum(jnp.maximum(ip1(dpmx), jm1(dpmx)),
-                                jp1p(dpmx))))
-    # boundary candidates (v-section ends first, u-section ends override;
-    # mod_momtum.F90:484-575 loop order)
-    cand_ve = .125 * jnp.maximum(4. * (dp_m + jm1(dp_m)),
-                                 jnp.maximum(dpmx, ip1(dpmx)))
-    cand_vw = .125 * jnp.maximum(4. * im1(dp_m + jm1(dp_m)),
-                                 jnp.maximum(im1(dpmx), dpmx))
-    cand_un = .125 * jnp.maximum(4. * (dp_m + im1(dp_m)),
-                                 jnp.maximum(dpmx, jp1p(dpmx)))
-    cand_us = .125 * jnp.maximum(4. * jm1(dp_m + im1(dp_m)),
-                                 jnp.maximum(jm1(dpmx), dpmx))
-    dpvor_b = jnp.full_like(dp_m, cutoff)
-    dpvor_b = jnp.where(iv > 0, cand_ve, dpvor_b)
-    dpvor_b = jnp.where(im1(iv) > 0, cand_vw, dpvor_b)
-    dpvor_b = jnp.where(iu > 0, cand_un, dpvor_b)
-    dpvor_b = jnp.where(jm1(iu) > 0, cand_us, dpvor_b)
-    dpvor = jnp.where(iq > 0, dpvor_i, dpvor_b)
-    potvor = absvor / dpvor
+    potvor = potvor_field(grid, dp_m, utotm, vtotm, dpmx)
 
     # ---- deformation fields (mod_momtum.F90:537-584)
     defor1 = ((ip1(utotn * grid.scuy) - utotn * grid.scuy)
@@ -210,56 +296,8 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
         * grid.scp2i
 
     # ---- Coriolis advection terms (mod_momtum.F90:719-784)
-    if par.mommth == 'enscon':
-        cau = .125 * (vflux0 + jp1vv(vflux0) + im1(vflux0) + im1(jp1vv(vflux0))) \
-            * (potvor + jp1q(potvor)) * iu
-        cav = -.125 * (uflux0 + ip1(uflux0) + jm1(uflux0) + ip1(jm1(uflux0))) \
-            * (potvor + ip1(potvor)) * iv
-    elif par.mommth == 'enecon':
-        cau = .25 * ((vflux0 + im1(vflux0)) * potvor
-                     + (jp1vv(vflux0) + im1(jp1vv(vflux0))) * jp1q(potvor)) * iu
-        cav = -.25 * ((uflux0 + jm1(uflux0)) * potvor
-                      + ip1(uflux0 + jm1(uflux0)) * ip1(potvor)) * iv
-    elif par.mommth == 'enedis':
-        # Sadourny energy-conserving scheme with upwind-selected
-        # min/max mass fluxes for slight dissipation
-        # (mod_momtum.F90:664-712 min/max setup, :765-812 fluxes)
-        c1, c2, c3, slp_ = 1. - 1.5 * .5, 1. - .5, 2., .5
-
-        def hminmax(hc, hm):
-            hm2 = jnp.where(jnp.abs(hc) < .1 * jnp.abs(hm), 10. * hc, hm)
-            adj = jnp.where(
-                jnp.abs(hc) < c2 * jnp.abs(hm2),
-                3. * hc + (1. - c2 * 3.) * hm2,
-                jnp.where(jnp.abs(hc) <= c3 * jnp.abs(hm2), hm2,
-                          slp_ * hc + (1. - c3 * slp_) * hm2))
-            hc2 = jnp.where(jnp.abs(hc) > c1 * jnp.abs(hm2), adj, hc)
-            return jnp.minimum(hc2, hm2), jnp.maximum(hc2, hm2)
-
-        uh_min, uh_max = hminmax(.5 * utotm * (dp_m + im1(dp_m)),
-                                 uflux0)
-        vh_min, vh_max = hminmax(.5 * vtotm * (dp_m + jm1(dp_m)),
-                                 vflux0)
-
-        def upw(pv, sgn, hmx, hmn, flip):
-            s_ = pv * sgn
-            sel = jnp.where(s_ == 0., .5 * (hmx + hmn),
-                            jnp.where((s_ < 0.) != flip, hmx, hmn))
-            return pv * sel
-
-        t1u = upw(jp1q(potvor), utotm, jp1vv(vh_max) + im1(jp1vv(vh_max)),
-                  jp1vv(vh_min) + im1(jp1vv(vh_min)), False)
-        t2u = upw(potvor, utotm, vh_max + im1(vh_max),
-                  vh_min + im1(vh_min), False)
-        cau = .25 * (t1u + t2u) * iu
-
-        t1v = upw(ip1(potvor), vtotm, ip1(uh_max) + jm1(ip1(uh_max)),
-                  ip1(uh_min) + jm1(ip1(uh_min)), True)
-        t2v = upw(potvor, vtotm, uh_max + jm1(uh_max),
-                  uh_min + jm1(uh_min), True)
-        cav = -.25 * (t1v + t2v) * iv
-    else:
-        raise NotImplementedError(f'mommth={par.mommth!r}')
+    cau, cav = coriolis_terms(grid, dp_m, utotm, vtotm, uflux0, vflux0,
+                              potvor, par.mommth)
 
     # ================= u equation =================
     # deformation-dependent viscosity at u (mod_momtum.F90:790-804)
