@@ -74,14 +74,20 @@ class ImportFields(NamedTuple):
     ndep: jax.Array      # Faxa_ndep nitrogen deposition [kg N m-2 s-1]
     co2prog: jax.Array   # Sa_co2prog prognostic atm CO2 [ppmv]
     co2diag: jax.Array   # Sa_co2diag diagnostic atm CO2 [ppmv]
+    # extended-N-cycle atmosphere deposition (Faxa_hmat/Faxa_hmat_oa/
+    # Faxa_hlat, ocn_import_export.F90:280-284); zeros unless the
+    # extNcycle/sediment options are active
+    hmat: jax.Array = None       # matured ammonium deposition
+    hmoa: jax.Array = None       # hmat, open-ocean share
+    hlat: jax.Array = None       # latent ammonium deposition
 
-N_IMPORTS = 30
+N_IMPORTS = 33
 
 
 def zero_imports(shape, dtype=jnp.float64) -> ImportFields:
     z = jnp.zeros(tuple(shape), dtype)
     one = jnp.ones(tuple(shape), dtype)
-    flds = [z] * 18 + [z, z, one, z, z, z] + [z] * 6
+    flds = [z] * 18 + [z, z, one, z, z, z] + [z] * 9
     return ImportFields(*flds)
 
 
@@ -112,6 +118,10 @@ class ExportFields(NamedTuple):
     # ocn->glc level profiles (:331-336), (NLEV_EXPORT, J, I)
     So_t_depth: jax.Array
     So_s_depth: jax.Array
+    # extended-N-cycle outgassing (ocn_import_export.F90:323-324);
+    # zeros when the extNcycle is off
+    Faoo_fn2o_ocn: jax.Array = None   # N2O flux [kg N2O m-2 s-1]
+    Faoo_fnh3_ocn: jax.Array = None   # NH3 flux [kg NH3 m-2 s-1]
 
 
 @jax.tree_util.register_dataclass
@@ -287,7 +297,9 @@ def ocn_export(grid: Grid, e: eos.EosParams, s: State, n: int,
         Faoo_fco2_ocn=bgc_fluxes.get('co2flux', z2) * grid.ip,
         Faoo_fdms_ocn=bgc_fluxes.get('dmsflux', z2) * grid.ip,
         Faoo_fbrf_ocn=bgc_fluxes.get('brfflux', z2) * grid.ip,
-        So_t_depth=t_depth, So_s_depth=s_depth)
+        So_t_depth=t_depth, So_s_depth=s_depth,
+        Faoo_fn2o_ocn=bgc_fluxes.get('n2oflux', z2) * grid.ip,
+        Faoo_fnh3_ocn=bgc_fluxes.get('nh3flux', z2) * grid.ip)
 
 
 class OcnCap:
