@@ -128,7 +128,11 @@ def run_case(model, cfg: RunConfig, rundir: str = '.',
         gcfgs.append(dia_mod.DiaGroupCfg(
             fnametag='bgcm', aveperio=max(1, cfg.nday2 - cfg.nday1)))
 
-    periods = [gc.steps_per_output(nspd) for gc in gcfgs]
+    # calendar-month/year groups (GLB_AVEPERIO 30 / 360..366,
+    # mod_rdlim.F90:1197-1203) fire at day-granular calendar
+    # boundaries, so they constrain the chunking to day boundaries
+    periods = [nspd if (gc.monthly or gc.annual)
+               else gc.steps_per_output(nspd) for gc in gcfgs]
 
     # the chunk length must divide every output period so alarms fire
     # on chunk boundaries (diaout_alarms, mod_dia.F90:2200-2311)
@@ -168,7 +172,7 @@ def run_case(model, cfg: RunConfig, rundir: str = '.',
         from ..bgc import bgcmean as bgcm_mod
         groups = list(groups)
         for gi, (gc, period) in enumerate(zip(gcfgs, periods)):
-            if done % period == 0 or done == nsteps:
+            if gc.alarm(clock, done, nspd) or done == nsteps:
                 path = os.path.join(
                     rundir, dia_mod.diafnm(cfg.runid, gc.fnametag,
                                            clock.time))

@@ -550,6 +550,29 @@ class DiaGroupCfg:
             return max(1, nstep_in_day // (-self.aveperio))
         return max(1, self.aveperio * nstep_in_day)
 
+    # GLB_AVEPERIO calendar codes (mod_rdlim.F90:1197-1203):
+    # 30 -> calendar month, 360..366 -> calendar year
+    @property
+    def monthly(self) -> bool:
+        return self.aveperio == 30
+
+    @property
+    def annual(self) -> bool:
+        return 360 <= self.aveperio <= 366
+
+    def alarm(self, clock, done_steps: int, nstep_in_day: int) -> bool:
+        """diaout_alarms (mod_dia.F90:2290-2305): calendar-gated for
+        monthly/annual groups — fire at a day boundary when the
+        (already stepped) date has entered day 1 of a month / of the
+        year — fixed step period otherwise."""
+        at_day = done_steps % nstep_in_day == 0
+        if self.annual:
+            d = clock.date
+            return at_day and d.month == 1 and d.day == 1
+        if self.monthly:
+            return at_day and clock.date.day == 1
+        return done_steps % self.steps_per_output(nstep_in_day) == 0
+
 
 _SUFFIX_OPS = {'mn': 'min', 'mx': 'max', 'sq': 'sq'}
 

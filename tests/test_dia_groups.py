@@ -79,3 +79,36 @@ def test_run_case_multigroup(tmp_path):
         assert 'pcomp' in f.dimensions
         assert 'temp' in f.variables
         assert 'salnlvl' in f.variables
+
+
+def test_calendar_alarm_codes():
+    """GLB_AVEPERIO calendar codes (mod_rdlim.F90:1197-1203 +
+    diaout_alarms, mod_dia.F90:2290-2305): 30 fires only on entering
+    day 1 of a month at a day boundary; 360..366 only on entering
+    Jan 1; plain values use the fixed step period."""
+    from blom_tpu.core import modeltime
+    from blom_tpu.io.dia import DiaGroupCfg
+
+    clock = modeltime.init_timevars('fuk95', 4320., 60.,
+                                    20000115, 20000115)
+    nspd = clock.nstep_in_day
+    mon = DiaGroupCfg(aveperio=30)
+    ann = DiaGroupCfg(aveperio=365)
+    day = DiaGroupCfg(aveperio=1)
+    assert mon.monthly and not mon.annual
+    assert ann.annual and not ann.monthly
+
+    fired_mon, fired_ann, fired_day = [], [], []
+    done = 0
+    for step in range(nspd * 50):        # ~50 model days from Jan 15
+        clock = clock.step()
+        done += 1
+        if mon.alarm(clock, done, nspd):
+            fired_mon.append(clock.date.to_ymd())
+        if ann.alarm(clock, done, nspd):
+            fired_ann.append(clock.date.to_ymd())
+        if day.alarm(clock, done, nspd):
+            fired_day.append(clock.date.to_ymd())
+    assert fired_mon == [20000201, 20000301], fired_mon
+    assert fired_ann == []
+    assert len(fired_day) == 50
