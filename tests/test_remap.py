@@ -97,10 +97,11 @@ def test_remap_conserves_mass_and_tracer(chan):
     rng = np.random.RandomState(3)
     H = grid.shape
     # smooth random flux areas, CFL-safe
-    cau = jnp.asarray(.05 * np.cos(np.linspace(0, 2 * np.pi, H[1]))
-                      [None, :] * np.ones(H)) * grid.scp2.mean() ** 0 \
-        * grid.scuy * 9806. * 2.
-    cav = jnp.asarray(.02 * rng.randn(*H)) * grid.scvx * 9806.
+    # amplitudes sized for the 650 m fuk95 spacing: displacement must
+    # stay well inside one cell for the remap geometry to be exact
+    cau = jnp.asarray(.04 * np.cos(np.linspace(0, 2 * np.pi, H[1]))
+                      [None, :] * np.ones(H)) * grid.scuy * 9806.
+    cav = jnp.asarray(.0075 * rng.randn(*H)) * grid.scvx * 9806.
     cau = cau * grid.iu
     cav = cav * grid.iv
     dp2, tr2, fdu, fdv, ftru, ftrv = rm.remap_layer(
