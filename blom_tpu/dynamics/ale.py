@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core import eos
-from ..core.constants import epsilp, onem
+from ..core.constants import epsilp, grav, onem
 from ..core.grid import Grid
 from ..core.state import State, cumulative_p, dpu_dpv_upstream
 from ..ops import hor3map as h3
@@ -53,6 +53,9 @@ class AleParams(NamedTuple):
     reconstruction_method: str = 'ppm'
     upper_bndr_ord: int = 6
     lower_bndr_ord: int = 4
+    # 'nudge' | 'direct' (REGRID_METHOD, mod_ale_regrid_remap.F90:68)
+    regrid_method: str = 'nudge'
+    bfsq_min: float = 1.e-7   # monotonization slope floor [s-2]
 
 
 def make_ale_params(kk: int, dpmin_surface_m: float = 1.5,
@@ -272,6 +275,107 @@ def regrid_nudge(grid: Grid, e: eos.EosParams, ale: AleParams,
     return p_dst, smooth_fac
 
 
+def regrid_direct(grid: Grid, e: eos.EosParams, ale: AleParams,
+                  p_src, sigma_n, sigmar):
+    """Direct regrid: place interfaces where a monotone reconstruction
+    of the column potential density crosses the interface target
+    densities (regrid_cntiso_hybrid_direct_jslice,
+    mod_ale_regrid_remap.F90:286-560).
+
+    Vectorization deviations from the reference's loops, validated by
+    tests/test_ale_direct.py: the run-merge monotonization is a
+    fixed-iteration Jacobi pairwise merge with the same dp-weighted
+    means and beta/2 slope floor; the surface transition zone uses the
+    plevel minimum clamp (the nudge path's pmin machinery) in place of
+    the quadratic blending of :530-556.
+
+    Returns (p_dst, smooth_fac)."""
+    kk = grid.kk
+    H = p_src.shape[1:]
+    p_bot = p_src[kk]
+    beta = ale.bfsq_min / (grav * grav)
+
+    # --- monotonize sig_src with the beta/2 slope floor
+    # (mod_ale_regrid_remap.F90:337-402): Jacobi pairwise merges
+    sig = sigma_n
+    dp_src = jnp.maximum(p_src[1:] - p_src[:-1], 0.)
+
+    def merge_pass(sig, start):
+        # merge violating pairs (k, k+1) for k = start, start+2, ...
+        # into their dp-weighted mean with the beta/2 slope restored
+        # (the window [ku, kl+1] = [k, k+2] case of :347-399)
+        span = p_src[2:] - p_src[:-2]                  # (kk-1, H)
+        viol = (sig[1:] - sig[:-1]) < .5 * beta * span
+        kidx = jnp.arange(kk - 1).reshape((kk - 1,) + (1,) * len(H))
+        act = viol & ((kidx % 2) == start)
+        wsum = dp_src[:-1] + dp_src[1:]
+        smean = (sig[:-1] * dp_src[:-1] + sig[1:] * dp_src[1:]) \
+            / jnp.maximum(wsum, epsilp)
+        up = smean + .5 * beta * (p_src[1:-1] - p_src[2:])
+        lo = smean + .5 * beta * (p_src[1:-1] - p_src[:-2])
+        new_up = jnp.where(act, up, sig[:-1])
+        new_lo = jnp.where(act, lo, sig[1:])
+        return jnp.concatenate(
+            [new_up[:1],
+             jnp.where(act[1:], up[1:], new_lo[:-1]),
+             new_lo[-1:]], axis=0)
+
+    for it in range(kk):
+        sig = merge_pass(sig, it % 2)
+
+    # --- monotone reconstruction + root-finding regrid
+    rc_sig = h3.ppm_reconstruct(p_src, sig, h3.MONOTONIC)
+    sig_trg = jnp.concatenate([sigmar, sigmar[-1:]], axis=0)
+    p_cand = h3.regrid_crossings(rc_sig, sig_trg)      # (kk+1, H)
+
+    # --- boundedness (:424-441): leading missing -> column top,
+    # trailing missing -> column bottom
+    found = p_cand > .5 * h3.REGRID_MVAL
+    lead = jnp.cumsum(found.astype(jnp.int32), axis=0) == 0
+    trail = jnp.cumsum(found[::-1].astype(jnp.int32), axis=0)[::-1] == 0
+    p_cand = jnp.where(lead, p_src[:1], p_cand)
+    p_cand = jnp.where(trail & (~lead), p_bot[None], p_cand)
+
+    # --- all-missing fallback (:445-461): put the column in the layer
+    # whose target-density bounds bracket the column mean density
+    none_found = ~jnp.any(found, axis=0)
+    smean_col = jnp.sum(sig * dp_src, axis=0) \
+        / jnp.maximum(p_bot - p_src[0], epsilp)
+    kidx1 = jnp.arange(1, kk + 1).reshape((kk,) + (1,) * len(H))
+    # first 1-based k in [2, kk] with smean < sig_trg(k); all interfaces
+    # >= ks go to the bottom
+    cond = (smean_col[None] < sig_trg[1:]) & (kidx1 >= 2)
+    ks = jnp.where(jnp.any(cond, axis=0),
+                   jnp.argmax(cond, axis=0) + 1, kk + 1)  # 1-based
+    qidx = jnp.arange(kk + 1).reshape((kk + 1,) + (1,) * len(H))
+    fallback = jnp.where(qidx >= ks[None], p_bot[None], p_src[:1])
+    p_cand = jnp.where(none_found[None], fallback, p_cand)
+
+    # --- plevel surface minima + minimum-thickness monotone clamp
+    # (:466-556, simplified; same machinery as the nudge path)
+    plevel = jnp.asarray(ale.plevel, p_src.dtype)
+    pmin = jnp.minimum(plevel.reshape((kk,) + (1,) * len(H)) + p_src[0],
+                       p_bot)
+    dpmin = min(ale.plevel[1] - ale.plevel[0], ale.dpmin_interior)
+
+    def clamp_scan(prev, xs):
+        c, pmn = xs
+        out = jnp.minimum(jnp.maximum(jnp.maximum(c, pmn),
+                                      prev + dpmin), p_bot)
+        return out, out
+
+    _, p_mid = lax.scan(clamp_scan, p_src[0], (p_cand[1:], pmin))
+    p_dst = jnp.concatenate([p_src[:1], p_mid[:-1], p_bot[None]], axis=0)
+    # no stability-weighted lateral smoothing in the direct method
+    # (the reference smooths only pressure-regime interfaces; here the
+    # pressure regime is exactly the pmin-clamped region)
+    at_pmin = jnp.abs(p_dst[1:-1] - pmin[:-1]) < 1e-6
+    sfac = at_pmin.astype(p_src.dtype)
+    smooth_fac = jnp.concatenate(
+        [jnp.ones_like(sfac[:1]), sfac, jnp.zeros_like(sfac[:1])], axis=0)
+    return p_dst, smooth_fac
+
+
 def regrid_smooth(grid: Grid, ale: AleParams, p_dst, smooth_fac, delt1):
     """Lateral flux-limited diffusion of weakly stratified interfaces
     (regrid_smooth_jslice, mod_ale_regrid_remap.F90:946-1020)."""
@@ -332,9 +436,13 @@ def ale_regrid_remap(grid: Grid, e: eos.EosParams, ale: AleParams,
         ale.tracer_limiting, pc_upper=ale.tracer_pc_upper)
     rc_t, rc_s = rcs_p[0], rcs_p[1]
 
-    # 2. regrid
-    p_dst, smooth_fac = regrid_nudge(grid, e, ale, p_src, rc_t, rc_s,
-                                     s.sigmar, delt1)
+    # 2. regrid (REGRID_METHOD dispatch, mod_ale_regrid_remap.F90:68)
+    if ale.regrid_method == 'direct':
+        p_dst, smooth_fac = regrid_direct(grid, e, ale, p_src,
+                                          s.sigma[n], s.sigmar)
+    else:
+        p_dst, smooth_fac = regrid_nudge(grid, e, ale, p_src, rc_t,
+                                         rc_s, s.sigmar, delt1)
 
     # 3. lateral smoothing
     if ale.smooth_diff_max > 0.:

@@ -588,6 +588,65 @@ def remap_groups(groups, bottom_only_empties: bool = False):
     return out
 
 
+REGRID_MVAL = -1.e33    # missing value of the regrid search
+#                         (the reference's regrid_mval sentinel)
+
+
+def regrid_crossings(rc: Recon, trg):
+    """Pressures where a monotone piecewise-parabolic reconstruction
+    crosses each target value (the reference's root-finding `regrid`,
+    mod_hor3map.F90 regrid publics): for every target trg[q] the first
+    layer whose edge-value interval contains it is located in a scan
+    over source layers and the parabola's crossing solved analytically
+    (stable quadratic form; linear fallback for vanishing curvature).
+    Targets lighter than the top reconstruction / denser than the
+    bottom return REGRID_MVAL.  trg: (nq, ...) broadcastable against
+    rc fields; returns (nq, ...)."""
+    import jax
+    from jax import lax
+
+    dx = jnp.maximum(rc.p[1:] - rc.p[:-1], 0.)
+    ev0 = rc.eval0()
+    ev1 = rc.eval1()
+
+    def body(carry, xs):
+        got, found = carry
+        p_up, dxk, c0, c1, c2, e0, e1 = xs
+        t = trg
+        inl = (t >= jnp.minimum(e0, e1)[None]) \
+            & (t <= jnp.maximum(e0, e1)[None]) & (~found) \
+            & (dxk[None] > heps)
+        # solve a x^2 + b x + c = 0 (a=c2, b=c1, c=c0-t) for the root
+        # in [0, 1]; a segment monotone on [0, 1] has exactly one.
+        # Stable pair: r1 = q/a, r2 = c/q with q = -(b + sign(b)*sqrt(D))/2.
+        a_, b_, cc = c2[None], c1[None], c0[None] - t
+        disc = jnp.maximum(b_ * b_ - 4. * a_ * cc, 0.)
+        sq = jnp.sqrt(disc)
+        small_a = jnp.abs(a_) < 1e-30
+        small_b = jnp.abs(b_) < 1e-30
+        q_ = -.5 * (b_ + jnp.sign(b_) * sq)
+        r1 = q_ / jnp.where(small_a, 1., a_)
+        r2 = cc / jnp.where(jnp.abs(q_) > 1e-300, q_, 1.)
+        x_lin = -cc / jnp.where(small_b, 1., b_)
+        x_sym = jnp.sqrt(jnp.maximum(
+            -cc / jnp.where(small_a, 1., a_), 0.))   # b == 0 case
+        x = jnp.where((r1 >= 0.) & (r1 <= 1.), r1, r2)
+        x = jnp.where(small_b & (~small_a), x_sym, x)
+        x = jnp.where(small_a, x_lin, x)
+        x = jnp.clip(x, 0., 1.)
+        got = jnp.where(inl, p_up[None] + x * dxk[None], got)
+        return (got, found | inl), None
+
+    init = (jnp.full(jnp.broadcast_shapes(
+        trg.shape, (trg.shape[0],) + rc.c0.shape[1:]), REGRID_MVAL,
+        rc.c0.dtype), jnp.zeros(
+        jnp.broadcast_shapes(trg.shape,
+                             (trg.shape[0],) + rc.c0.shape[1:]), bool))
+    (got, found), _ = lax.scan(
+        body, init, (rc.p[:-1], dx, rc.c0, rc.c1, rc.c2, ev0, ev1))
+    return got
+
+
 def remap_means(rc: Recon, p_dst):
     """Destination layer means: (I(p_dst[k+1]) - I(p_dst[k])) / dp_dst
     (the reference's remap, piecewise integration).  Zero-thickness
