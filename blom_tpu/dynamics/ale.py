@@ -13,12 +13,14 @@ ale_regrid_remap).  Per step, for the cntiso_hybrid vertical coordinate:
 4. remap tracers onto the new grid (remap_trc_jslice, :1022-1057);
 5. recompute dpu/dpv and remap velocities (:1760-1960).
 
-All column loops are dense over (k, j, i).  Simplifications this round,
-to be tightened later: the reference's quadratic-Bezier transition-zone
+All column loops are dense over (k, j, i).  Both REGRID_METHOD options
+are implemented: 'nudge' (regrid_cntiso_hybrid_nudge_jslice, :560-916)
+and 'direct' (regrid_cntiso_hybrid_direct_jslice, :286-560, via the
+hor3map root-finding regrid).  Remaining simplifications, to be
+tightened later: the reference's quadratic-Bezier transition-zone
 adjustment of target densities (:670-740) and the dpvar_fac local
 thickness-variation limiter (:845-912) are replaced by the monotonic
-minimum-thickness clamp; regrid_method='direct' and the plevel vertical
-coordinate are pending.
+minimum-thickness clamp; the plevel vertical coordinate is pending.
 """
 
 from __future__ import annotations
