@@ -36,6 +36,9 @@ class DiffusionFields:
     # bulk mixed layer TKE budget terms [m3 s-3] (mod_mxlayr.F90
     # mtkeus/mtkeni/mtkebf/mtkers/mtkepe/mtkeke; H2D_MTKE* diagnostics)
     mtke: jax.Array     # (6, H): us, ni, bf, rs, pe, ke
+    # KPP/vmix boundary-layer (mixed-layer) depth [m] for the H2D_BLD/
+    # MAXBLD diagnostics (mod_difest.F90 bldepth)
+    bld: jax.Array      # (H)
 
 
 def zero_diffusion_fields(kk: int, shape, dtype=jnp.float64):
@@ -47,4 +50,5 @@ def zero_diffusion_fields(kk: int, shape, dtype=jnp.float64):
         difwgt=jnp.ones(H, dtype),
         umfltd=z2k, vmfltd=z2k, umflsm=z2k, vmflsm=z2k,
         difvho=zk, difvso=zk, difvmo=zk,
-        mtke=jnp.zeros((6,) + H, dtype))
+        mtke=jnp.zeros((6,) + H, dtype),
+        bld=jnp.zeros(H, dtype))

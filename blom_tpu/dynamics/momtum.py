@@ -66,9 +66,11 @@ def _dpmx(grid: Grid, dp_m):
                                    jnp.maximum(dv, im1(dv))))
 
 
-def potvor_field(grid: Grid, dp_m, utotm, vtotm, dpmx=None):
+def potvor_field(grid: Grid, dp_m, utotm, vtotm, dpmx=None,
+                 return_dpvor: bool = False):
     """Absolute/potential vorticity at q points, interior + lateral
-    boundary treatment (mod_momtum.F90:473-575)."""
+    boundary treatment (mod_momtum.F90:473-575).  With return_dpvor,
+    returns (potvor, dpvor) — the LYR_DPVOR diagnostic."""
     ip, iu, iv, iq = grid.ip, grid.iu, grid.iv, grid.iq
     im1, ip1, jm1 = grid.im1, grid.ip1, grid.jm1
     jp1p = lambda a: grid.jp1(a, 'p')           # noqa: E731
@@ -110,6 +112,8 @@ def potvor_field(grid: Grid, dp_m, utotm, vtotm, dpmx=None):
     dpvor = jnp.where(iq > 0, dpvor_i, dpvor_b)
     potvor = absvor / dpvor
 
+    if return_dpvor:
+        return potvor, dpvor
     return potvor
 
 

@@ -238,7 +238,8 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
             vf = _difest_v(par)(grid, e, s, forcing, swabs, par.vmix, n)
             dfl = dataclasses.replace(dfl, difvho=vf.Kdiff_t,
                                       difvso=vf.Kdiff_s,
-                                      difvmo=vf.Kvisc_m)
+                                      difvmo=vf.Kvisc_m,
+                                      bld=vf.mld * grid.ip)
             kdiff = vf.Kdiff_t
             if par.itrtke >= 0:
                 # TKE(/GLS) second-order closure replaces the Ri-based
@@ -280,7 +281,8 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
         # fused in difest_vertical; then implicit vertical diffusion.
         vf = _difest_v(par)(grid, e, s, forcing, swabs, par.vmix, n)
         dfl = dataclasses.replace(dfl, difvho=vf.Kdiff_t,
-                                  difvso=vf.Kdiff_s, difvmo=vf.Kvisc_m)
+                                  difvso=vf.Kdiff_s, difvmo=vf.Kvisc_m,
+                                  bld=vf.mld * grid.ip)
         s = ale_vdifft(grid, e, s, forcing, vf, m, n, delt1)
         s = ale_vdiffm(grid, s, vf, m, n, delt1)
         ckpt(n)   # budget_sums(4,n) after ale_vdiffm (:205)

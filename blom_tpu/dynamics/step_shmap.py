@@ -188,7 +188,8 @@ def blom_step_blocks(ctx: _Ctx, grid_b: Grid, e, par: StepParams,
         dfl = dataclasses.replace(
             dfl, difvho=ctx.crop(vf.Kdiff_t, M_VMX),
             difvso=ctx.crop(vf.Kdiff_s, M_VMX),
-            difvmo=ctx.crop(vf.Kvisc_m, M_VMX))
+            difvmo=ctx.crop(vf.Kvisc_m, M_VMX),
+            bld=ctx.crop(vf.mld, M_VMX) * _block_grid(grid_b).ip)
         sW = ale_vdifft(g2, e, sW, fW, vf, m, n, delt1)
         sW = ale_vdiffm(g2, sW, vf, m, n, delt1)
         s = _fence(ctx.crop(sW, M_VMX))

@@ -121,6 +121,28 @@ def _bfsq(c, n):
     return jnp.concatenate([bv[:1], bv], axis=0)
 
 
+def _ivol(vel, edge):
+    """Ice volume transport through cell edges [m3 s-1]
+    (H2D_IVOLU/IVOLV): drift velocity x ice thickness x concentration
+    x edge length."""
+    def fn(c, n):
+        if c.si is None:
+            return jnp.zeros(c.g.shape, c.s.pb.dtype)
+        return (getattr(c.si, vel) * c.si.hicem * c.si.ficem
+                * getattr(c.g, edge))
+    return fn
+
+
+def _dpvor(c, n):
+    """Thickness used in the potential-vorticity definition
+    (mod_momtum.F90:473-575 dpvor)."""
+    from ..dynamics.momtum import potvor_field
+    _, dpv = potvor_field(c.g, c.s.dp[n], c.s.u[n], c.s.v[n],
+                          return_dpvor=True)
+    return dpv
+
+
+
 _ONECM = 98.06      # 1 cm of pressure thickness [Pa] (mod_constants)
 _DBCL82 = 3.e-4     # Levitus (1982) buoyancy criterion [m s-2]
 _DRCB04 = .03       # de Boyer Montegut (2004) density criterion [kg m-3]
@@ -418,6 +440,20 @@ FIELD_REGISTRY: Dict[str, Tuple[str, Callable]] = {
     'ustokes': ('2d', _cesm('ustokes')),
     'vstokes': ('2d', _cesm('vstokes')),
     'slp': ('2d', _cesm('slp')),
+    # ---- sea-ice drift/volume + albedo (H2D_UICE/VICE/IVOLU/IVOLV/
+    # ALB, mod_dia.F90; mod_seaice.F90:40-41 uicem/vicem) ----
+    'uice': ('2d', _si('uicem')),
+    'vice': ('2d', _si('vicem')),
+    'alb': ('2d', _si('albm')),
+    'ivolu': ('2d', _ivol('uicem', 'scuy')),
+    'ivolv': ('2d', _ivol('vicem', 'scvx')),
+    # ---- KPP boundary-layer depth (H2D_BLD/MAXBLD, the bldepth of
+    # mod_difest.F90's CVMix wrap) ----
+    'bld': ('2d', lambda c, n: c.dfl.bld),
+    'maxbld': ('2d', lambda c, n: c.dfl.bld),
+    # ---- thickness used in potential vorticity (LYR_DPVOR,
+    # mod_momtum.F90:473-575 dpvor) ----
+    'dpvor': ('3d', _dpvor),
     # ---- mixed-layer TKE budget terms (H2D_MTKE*) ----
     'mtkeus': ('2d', lambda c, n: c.dfl.mtke[0]),
     'mtkeni': ('2d', lambda c, n: c.dfl.mtke[1]),
@@ -589,6 +625,9 @@ def _nml_key_to_field(key: str) -> Optional[Tuple[str, str]]:
     else:
         return None
     op = 'ave'
+    if name == 'maxbld':
+        # ACC_MAXBLD accumulates the maximum by definition (mod_dia.F90)
+        return ('maxbld', 'max')
     if kind == 'h2d' and name[-2:] in _SUFFIX_OPS \
             and name[:-2] in FIELD_REGISTRY:
         op = _SUFFIX_OPS[name[-2:]]

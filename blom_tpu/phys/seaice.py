@@ -49,6 +49,9 @@ class SeaiceState:
     ticem: jax.Array    # ice temperature [K]
     iagem: jax.Array    # ice age [days]
     ustari: jax.Array   # ice-ocean friction velocity [m s-1]
+    uicem: jax.Array    # ice drift x velocity [m s-1] (mod_seaice.F90:40)
+    vicem: jax.Array    # ice drift y velocity [m s-1]
+    albm: jax.Array     # surface albedo [] (ben02 thermo)
     tauxice: jax.Array  # ice-ocean x stress [N m-2]
     tauyice: jax.Array  # ice-ocean y stress [N m-2]
     rnfres: jax.Array   # runoff reservoir [kg m-2]
@@ -58,7 +61,8 @@ class SeaiceState:
 def init_seaice(shape, dtype=jnp.float64) -> SeaiceState:
     H = tuple(shape)
     z = jnp.zeros(H, dtype)
-    return SeaiceState(ficem=z, hicem=z, hsnwm=z,
+    return SeaiceState(ficem=z, hicem=z, hsnwm=z, uicem=z, vicem=z,
+                       albm=z,
                        tsrfm=jnp.full(H, 273.15, dtype),
                        ticem=jnp.full(H, 273.15, dtype),
                        iagem=z, ustari=z, tauxice=z, tauyice=z,
