@@ -22,7 +22,9 @@ dpeps = 1.e-5    # (mod_diffus.F90:56)
 
 
 def diffus(grid: Grid, e: eos.EosParams, s: State, dfl: DiffusionFields,
-           m: int, n: int, delt1) -> State:
+           m: int, n: int, delt1):
+    """Returns (state, dfl): dfl gains the per-step isopycnal heat/salt
+    fluxes (utflld..., the LYR/LVL_U/VT/SFLLD diagnostics)."""
     ip, iu, iv = grid.ip, grid.iu, grid.iv
     im1, ip1, jm1, jp1 = grid.im1, grid.ip1, grid.jm1, grid.jp1
     jp1vv = lambda a: grid.jp1(a, 'v', True)   # noqa: E731 (fold-aware)
@@ -55,6 +57,8 @@ def diffus(grid: Grid, e: eos.EosParams, s: State, dfl: DiffusionFields,
         vtflx=s.vtflx.at[m].add(vtf),
         usflx=s.usflx.at[m].add(usf),
         vsflx=s.vsflx.at[m].add(vsf))
+    dfl = dataclasses.replace(dfl, utflld=utf, usflld=usf,
+                              vtflld=vtf, vsflld=vsf)
 
     ntr = s.trc.shape[1]
     if ntr:
@@ -64,4 +68,4 @@ def diffus(grid: Grid, e: eos.EosParams, s: State, dfl: DiffusionFields,
             trc_news.append(tr_new)
         s = dataclasses.replace(
             s, trc=s.trc.at[n].set(jnp.stack(trc_news, axis=0)))
-    return s
+    return s, dfl

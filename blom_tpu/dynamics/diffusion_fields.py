@@ -39,6 +39,12 @@ class DiffusionFields:
     # KPP/vmix boundary-layer (mixed-layer) depth [m] for the H2D_BLD/
     # MAXBLD diagnostics (mod_difest.F90 bldepth)
     bld: jax.Array      # (H)
+    # isopycnal-diffusion heat/salt fluxes (mod_diffusion.F90:150-190
+    # utflld/usflld/vtflld/vsflld; filled by dynamics.diffus)
+    utflld: jax.Array   # (K, H)
+    usflld: jax.Array
+    vtflld: jax.Array
+    vsflld: jax.Array
 
 
 def zero_diffusion_fields(kk: int, shape, dtype=jnp.float64):
@@ -51,4 +57,5 @@ def zero_diffusion_fields(kk: int, shape, dtype=jnp.float64):
         umfltd=z2k, vmfltd=z2k, umflsm=z2k, vmflsm=z2k,
         difvho=zk, difvso=zk, difvmo=zk,
         mtke=jnp.zeros((6,) + H, dtype),
-        bld=jnp.zeros(H, dtype))
+        bld=jnp.zeros(H, dtype),
+        utflld=zk, usflld=zk, vtflld=zk, vsflld=zk)

@@ -215,7 +215,7 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
         else:
             # along-layer diffusion: along isopycnals in the isopycnic
             # regime (mod_blom_step.F90:152 diffus, both regimes)
-            s = diffus(grid, e, s, dfl, m, n, delt1)
+            s, dfl = diffus(grid, e, s, dfl, m, n, delt1)
 
     ckpt(n)   # budget_sums(2|3,n) after advect/diffus (:156,159)
 

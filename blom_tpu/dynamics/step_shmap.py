@@ -160,7 +160,12 @@ def blom_step_blocks(ctx: _Ctx, grid_b: Grid, e, par: StepParams,
         if par.ltedtp == 'neutral' and not par.vcoord_isopyc:
             raise NotImplementedError(
                 'ltedtp=neutral under the shard_map step')
-        sW = diffus(g3, e, sW, dflW, m, n, delt1)
+        sW, dflW = diffus(g3, e, sW, dflW, m, n, delt1)
+        dfl = dataclasses.replace(
+            dfl, utflld=ctx.crop(dflW.utflld, M_DIF),
+            usflld=ctx.crop(dflW.usflld, M_DIF),
+            vtflld=ctx.crop(dflW.vtflld, M_DIF),
+            vsflld=ctx.crop(dflW.vsflld, M_DIF))
     s = _fence(ctx.crop(sW, M_DIF))
 
     # pressure gradient force

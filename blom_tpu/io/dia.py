@@ -143,6 +143,16 @@ def _dpvor(c, n):
 
 
 
+def _mfl_trc(mfl, trc, direction):
+    """Eddy-induced / submesoscale tracer flux: mass flux times the
+    edge-mean tracer (mod_eddtra.F90:1836-1905, LYR_U/VT/SFLTD/SM)."""
+    def fn(c, n):
+        t = getattr(c.s, trc)[n]
+        nbr = c.g.im1(t) if direction == 'u' else c.g.jm1(t)
+        return getattr(c.dfl, mfl)[1 - n] * .5 * (t + nbr)
+    return fn
+
+
 _ONECM = 98.06      # 1 cm of pressure thickness [Pa] (mod_constants)
 _DBCL82 = 3.e-4     # Levitus (1982) buoyancy criterion [m s-2]
 _DRCB04 = .03       # de Boyer Montegut (2004) density criterion [kg m-3]
@@ -454,6 +464,21 @@ FIELD_REGISTRY: Dict[str, Tuple[str, Callable]] = {
     # ---- thickness used in potential vorticity (LYR_DPVOR,
     # mod_momtum.F90:473-575 dpvor) ----
     'dpvor': ('3d', _dpvor),
+    # ---- component-wise tracer fluxes: eddy-induced (td,
+    # mod_eddtra.F90:1836-1905), submesoscale (sm) and isopycnal
+    # diffusion (ld, dynamics.diffus) ----
+    'utfltd': ('3d', _mfl_trc('umfltd', 'temp', 'u')),
+    'usfltd': ('3d', _mfl_trc('umfltd', 'saln', 'u')),
+    'vtfltd': ('3d', _mfl_trc('vmfltd', 'temp', 'v')),
+    'vsfltd': ('3d', _mfl_trc('vmfltd', 'saln', 'v')),
+    'utflsm': ('3d', _mfl_trc('umflsm', 'temp', 'u')),
+    'usflsm': ('3d', _mfl_trc('umflsm', 'saln', 'u')),
+    'vtflsm': ('3d', _mfl_trc('vmflsm', 'temp', 'v')),
+    'vsflsm': ('3d', _mfl_trc('vmflsm', 'saln', 'v')),
+    'utflld': ('3d', lambda c, n: c.dfl.utflld),
+    'usflld': ('3d', lambda c, n: c.dfl.usflld),
+    'vtflld': ('3d', lambda c, n: c.dfl.vtflld),
+    'vsflld': ('3d', lambda c, n: c.dfl.vsflld),
     # ---- mixed-layer TKE budget terms (H2D_MTKE*) ----
     'mtkeus': ('2d', lambda c, n: c.dfl.mtke[0]),
     'mtkeni': ('2d', lambda c, n: c.dfl.mtke[1]),
@@ -479,7 +504,10 @@ for _name in ('temp', 'saln', 'uvel', 'vvel', 'uflx', 'vflx', 'utflx',
               'vtflx', 'usflx', 'vsflx', 'bfsq', 'difint', 'difiso',
               'difdia', 'dz', 'pv', 'umfltd', 'vmfltd', 'umflsm',
               'vmflsm', 'difvho', 'difvso', 'difvmo', 'tke', 'gls',
-              'idlage', 'wflx', 'wflx2'):
+              'idlage', 'wflx', 'wflx2',
+              'utfltd', 'usfltd', 'vtfltd', 'vsfltd',
+              'utflsm', 'usflsm', 'vtflsm', 'vsflsm',
+              'utflld', 'usflld', 'vtflld', 'vsflld'):
     _dims, _fn = FIELD_REGISTRY[_name]
     FIELD_REGISTRY[_name + 'lvl'] = ('zlv', _zlv(_fn))
 del _name, _dims, _fn

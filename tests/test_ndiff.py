@@ -77,7 +77,7 @@ def test_ndiff_mixes_along_neutral_not_layers(model):
     delt1 = 2 * m.par.baclin
 
     s_n = ndiff(m.grid, m.e, s0, m.dfl, mm, n, delt1, mld_p)
-    s_l = diffus(m.grid, m.e, s0, m.dfl, mm, n, delt1)
+    s_l, _ = diffus(m.grid, m.e, s0, m.dfl, mm, n, delt1)
 
     # compare away from the clamped ends of the matching (surface
     # pressure-aligned region, unmatched bottom) on layers with mass
