@@ -884,3 +884,86 @@ def write_netcdf_compressed(path: str, grid: Grid, group: DiaGroup,
                 v = f.createVariable(name, 'f', ('time', zdim, 'pcomp'))
                 flat = mean.reshape(mean.shape[0], -1)[:, idx]
                 v[0] = flat.astype('f4')
+
+
+def write_netcdf_sharded(dirpath: str, grid: Grid, group: DiaGroup,
+                         time_days: float):
+    """Shard-parallel diagnostic output: one NetCDF3 file per device
+    shard of the accumulators plus a JSON index, written WITHOUT
+    gathering the global arrays to one host — the PnetCDF-parallel
+    analogue of the reference's output path
+    (mod_nctools.F90:93-218 #ifdef PNETCDF collective writes; here
+    each host writes only the blocks it holds, multi-host safe because
+    shard ownership is disjoint).  Use read_netcdf_sharded to
+    reassemble."""
+    import json as _json
+    import os as _os
+    from scipy.io import netcdf_file
+
+    _os.makedirs(dirpath, exist_ok=True)
+    nacc = float(np.asarray(group.nacc))
+    q = 1.0 / max(nacc, 1.0)
+
+    index = {'time_days': time_days, 'nacc': nacc, 'fields': {},
+             'shards': []}
+    shard_blocks = {}
+    for name, op in group.fields:
+        acc = group.acc[name]
+        mean = acc * q if op == 'ave' else acc
+        index['fields'][name] = {'op': op,
+                                 'shape': list(np.shape(mean))}
+        shards = getattr(mean, 'addressable_shards', None)
+        if not shards:
+            shard_blocks.setdefault((0, (0, 0)), {})[name] = (
+                np.asarray(mean), (0, 0))
+            continue
+        for sh in shards:
+            # index shards by their (j, i) block origin
+            idx = sh.index
+            origin = tuple(sl.start or 0 for sl in idx[-2:])
+            key = (sh.device.id, origin)
+            shard_blocks.setdefault(key, {})[name] = (
+                np.asarray(sh.data), origin)
+
+    for si, ((dev, origin), fields) in enumerate(
+            sorted(shard_blocks.items())):
+        fname = f'shard_{si:04d}.nc'
+        index['shards'].append({'file': fname, 'device': dev,
+                                'origin': list(origin)})
+        with netcdf_file(_os.path.join(dirpath, fname), 'w') as f:
+            first = next(iter(fields.values()))[0]
+            for name, (blk, orig) in fields.items():
+                dims = []
+                for ax, nsz in enumerate(blk.shape):
+                    dn = f'{name}_d{ax}'
+                    f.createDimension(dn, nsz)
+                    dims.append(dn)
+                v = f.createVariable(name, 'd', tuple(dims))
+                v[:] = blk
+                v.origin_j, v.origin_i = orig
+    with open(_os.path.join(dirpath, 'index.json'), 'w') as f:
+        _json.dump(index, f)
+
+
+def read_netcdf_sharded(dirpath: str):
+    """Reassemble a write_netcdf_sharded directory into
+    {name: global numpy array}."""
+    import json as _json
+    import os as _os
+    from scipy.io import netcdf_file
+
+    with open(_os.path.join(dirpath, 'index.json')) as f:
+        index = _json.load(f)
+    out = {name: np.zeros(meta['shape'])
+           for name, meta in index['fields'].items()}
+    for sh in index['shards']:
+        with netcdf_file(_os.path.join(dirpath, sh['file']), 'r',
+                         mmap=False) as f:
+            for name, var in f.variables.items():
+                blk = var[:].copy()
+                j0, i0 = int(var.origin_j), int(var.origin_i)
+                sl = (Ellipsis,
+                      slice(j0, j0 + blk.shape[-2]),
+                      slice(i0, i0 + blk.shape[-1]))
+                out[name][sl] = blk
+    return out
