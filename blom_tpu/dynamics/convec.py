@@ -78,6 +78,57 @@ def convec(grid: Grid, e: eos.EosParams, s: State, m: int, n: int) -> State:
 
     delp, kfpl = _collapse_thin(delp, kidx)
 
+    # ---- kfplo history merge (mod_convec.F90:108-186): when the first
+    # physical layer moved up since last step, merge the layers between
+    # and re-place the merged water in its density class.
+    kfplo = s.kfpla[n].astype(kfpl.dtype)
+    hist = kfpl < kfplo
+
+    def _merge(rng):
+        dps = jnp.sum(jnp.where(rng, delp, 0.), axis=0)
+        q = 1. / jnp.maximum(dps, epsilp)
+        ttmp = jnp.sum(jnp.where(rng, ttem * delp, 0.), axis=0) * q
+        stmp = jnp.sum(jnp.where(rng, ssal * delp, 0.), axis=0) * q
+        trmix = (jnp.sum(jnp.where(rng[None], ttrc * delp[None], 0.),
+                         axis=1) * q[None]) if ntr else None
+        return dps, ttmp, stmp, trmix
+
+    # case A: kfplo within the column (:110-148)
+    rngA = (kidx >= kfpl) & (kidx <= kfplo)
+    dpsA, ttA, ssA, trA = _merge(rngA)
+    dtA = eos.sig(e, ttA, ssA)
+    densr_o = jnp.sum(jnp.where(kidx == kfplo, densr, 0.), axis=0)
+    applyA = hist & (kfplo <= kk - 1) & (dtA > densr_o)
+    zeroA = rngA & (kidx < kfplo)
+    atA = kidx == kfplo
+
+    # case B: no previous physical layer (:149-185): merge to the
+    # bottom and find the fitting density class
+    rngB = (kidx >= kfpl) & (kidx <= kk - 1)
+    dpsB, ttB, ssB, trB = _merge(rngB)
+    dtB = eos.sig(e, ttB, ssB)
+    fits = (dtB[None] >= densr) & (kidx >= 2)
+    kfplB = jnp.maximum(2, jnp.max(jnp.where(fits, kidx, 2), axis=0))
+    applyB = hist & (kfplo > kk - 1)
+    zeroB = rngB
+    atB = kidx == kfplB
+
+    def _apply(a, merged_val, applyX, zeroX, atX):
+        a2 = jnp.where(applyX[None] & zeroX, 0. * a, a)
+        return jnp.where(applyX[None] & atX, merged_val[None], a2)
+
+    for applyX, zeroX, atX, dpsX, ttX, ssX, dtX, trX, kfX in (
+            (applyA, zeroA, atA, dpsA, ttA, ssA, dtA, trA, kfplo),
+            (applyB, zeroB, atB, dpsB, ttB, ssB, dtB, trB, kfplB)):
+        delp = jnp.where(applyX[None] & zeroX, 0., delp)
+        delp = jnp.where(applyX[None] & atX, dpsX[None], delp)
+        ttem = jnp.where(applyX[None] & atX, ttX[None], ttem)
+        ssal = jnp.where(applyX[None] & atX, ssX[None], ssal)
+        if ntr:
+            ttrc = jnp.where((applyX[None] & atX)[None],
+                             trX[:, None], ttrc)
+        kfpl = jnp.where(applyX, kfX, kfpl)
+
     for _ in range(N_PASSES):
         # ---- mixing extent scan (mod_convec.F90:207-246): accumulate
         # layers downward from kfpl while the density jump at the current

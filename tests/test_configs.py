@@ -66,14 +66,18 @@ def test_fuk95_isopyc_bulkml():
     dp1 = np.asarray(s.dp[1])
     ml = (dp1[0] + dp1[1])[ip > 0] / 9806.
     assert ml.min() > 2. and ml.max() < 12.
-    # substantial interior layers stay close to their reference
-    # densities (thin outcropping layers at the front drift more, since
-    # the diapycnal mass-restoration part of diapfl is a later round)
+    # substantial interior layers BELOW the first physical layer stay
+    # on their reference densities; layer kfpl (and kfpl+1 when its
+    # density is past the class midpoint) is excluded from restoration
+    # by the reference scheme (rstdns, mod_diapfl.F90:150-156), so the
+    # criterion starts at kfpl+2
     sig = np.asarray(s.sigma[1])
     sigr = np.asarray(s.sigmar)
     dpw = np.asarray(s.dp[1])
+    kfpl = np.asarray(s.kfpla[1])
     thick = dpw > 9806. * 2.
-    interior = thick & (np.arange(12)[:, None, None] >= 3) & (ip[None] > 0)
+    interior = thick & (np.arange(12)[:, None, None] >= kfpl[None] + 2) \
+        & (ip[None] > 0)
     assert interior.any()
     assert np.abs((sig - sigr)[interior]).max() < .05
 
