@@ -218,4 +218,27 @@ def convec(grid: Grid, e: eos.EosParams, s: State, m: int, n: int) -> State:
         kfpla=s.kfpla.at[n].set(kfpl))
     if ntr:
         s = dataclasses.replace(s, trc=s.trc.at[n].set(ttrc))
-    return s
+
+    # ---- momentum redistribution (mod_convec.F90:305-449): remap u/v
+    # conservatively from the old velocity-point pressure grid onto the
+    # one implied by the convected thicknesses; empty new layers get 0.
+    from ..core.state import cumulative_p
+    from ..ops import hor3map as h3
+
+    p_new = cumulative_p(s.dp[n]) * ip
+    im1, jm1 = grid.im1, grid.jm1
+
+    def remap_vel(vel, p_old_uv, mask, nbr):
+        pb_uv = p_old_uv[kk]
+        pn = .5 * (jnp.minimum(pb_uv[None], p_new)
+                   + jnp.minimum(pb_uv[None], nbr(p_new)))
+        rc = h3.Recon(p=p_old_uv, c0=vel, c1=jnp.zeros_like(vel),
+                      c2=jnp.zeros_like(vel))
+        means = h3.remap_means(rc, pn)
+        dpn = pn[1:] - pn[:-1]
+        return jnp.where(dpn > 0., means, 0.) * mask
+
+    u_new = remap_vel(s.u[n], s.pu, grid.iu, im1)
+    v_new = remap_vel(s.v[n], s.pv, grid.iv, jm1)
+    return dataclasses.replace(
+        s, u=s.u.at[n].set(u_new), v=s.v.at[n].set(v_new))
