@@ -8,13 +8,11 @@ in-situ density jump across the mixed-layer base is unstable, then
 re-assigning the first physical layer index kfpla so the mixed water
 sits in its density class.
 
-The reference's converge-until-done outer loop (:197-205) becomes a
-fixed number of passes (instabilities are eliminated monotonically; two
-passes suffice for any state reachable in one step), and its per-column
-while-loops become k-scans with masks.  The kfplo history-merge special
-case (:108-186) is simplified to the leading-thin-layer collapse — the
-consequence is only a different (still valid) initial layer for the
-merge, documented here for the parity pass."""
+The reference's outer loop body executes exactly once (done is set
+.true. at the top and never reset, :193-203); per-column while-loops
+become k-scans with masks.  The kfplo history merge (:108-186) and the
+momentum redistribution (:305-449) are implemented; parity against the
+loop-level transcription is tests/test_convec_oracle.py."""
 
 from __future__ import annotations
 
@@ -28,7 +26,9 @@ from ..core.constants import epsilp
 from ..core.grid import Grid
 from ..core.state import State
 
-N_PASSES = 2
+# The reference's converge loop body runs exactly once (done is set
+# .true. at the top and never reset, mod_convec.F90:193-203)
+N_PASSES = 1
 
 
 def _collapse_thin(delp, kidx):
