@@ -104,6 +104,31 @@ def _bg2(grid: Grid, e: eos.EosParams, s: State, n: int):
     return (gx + gy + slbg0) * grid.ip
 
 
+
+def entrain_energy(p_top, prk, pmxl, tk, sk, tm0, sm0, dpe0, dke0,
+                   uk, vk, um, vm, delt1, rm5):
+    """Potential/kinetic-energy terms of the entrainment TKE budget
+    (mod_mxlayr.F90:877-916 and the per-layer accumulation :975-1010):
+    the PE cost of mixing layer k's slab into the mixed layer expressed
+    through the dynamic-enthalpy double integral p_p_alpha, floored by
+    the mldjmp minimum stratification, and the rm5-weighted
+    mean-shear KE source."""
+    denom = jnp.maximum(pmxl - p_top, epsilp)
+    tmx = (tm0 * (prk - p_top) + tk * (pmxl - prk)) / denom
+    smx = (sm0 * (prk - p_top) + sk * (pmxl - prk)) / denom
+    dpe = dpe0 + jnp.maximum(
+        .5 * alpha0 * alpha0 * mldjmp
+        * (prk - p_top) * (pmxl - prk),
+        eos.p_p_alpha(pmxl, p_top, tmx, smx)
+        - eos.p_p_alpha(pmxl, prk, tk, sk)
+        - eos.p_p_alpha(prk, p_top, tm0, sm0)
+        - (p_top - prk) * eos.p_alpha(pmxl, prk, tk, sk)) \
+        * alpha0 / (delt1 * grav)
+    dke = dke0 + .5 * rm5 * (prk - p_top) * (pmxl - prk) \
+        * ((uk - um) ** 2 + (vk - vm) ** 2) * alpha0 \
+        / (denom * delt1 * grav)
+    return tmx, smx, dpe, dke
+
 def mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
            par: MxlayrParams, m: int, n: int, delt1,
            swabs=None, idkedt=None, dfl=None):
@@ -281,20 +306,9 @@ def _mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
                   um, vm):
         """TKE with PE/KE terms while entraining within layer k
         (:877-916)."""
-        denom = jnp.maximum(pmxl - pres[0], epsilp)
-        tmx = (tm0 * (prk - pres[0]) + tk * (pmxl - prk)) / denom
-        smx = (sm0 * (prk - pres[0]) + sk * (pmxl - prk)) / denom
-        dpe = dpe0 + jnp.maximum(
-            .5 * alpha0 * alpha0 * mldjmp
-            * (prk - pres[0]) * (pmxl - prk),
-            eos.p_p_alpha(pmxl, pres[0], tmx, smx)
-            - eos.p_p_alpha(pmxl, prk, tk, sk)
-            - eos.p_p_alpha(prk, pres[0], tm0, sm0)
-            - (pres[0] - prk) * eos.p_alpha(pmxl, prk, tk, sk)) \
-            * alpha0 / (delt1 * grav)
-        dke = dke0 + .5 * par.rm5 * (prk - pres[0]) * (pmxl - prk) \
-            * ((uk - um) ** 2 + (vk - vm) ** 2) * alpha0 \
-            / (denom * delt1 * grav)
+        tmx, smx, dpe, dke = entrain_energy(
+            pres[0], prk, pmxl, tk, sk, tm0, sm0, dpe0, dke0, uk, vk,
+            um, vm, delt1, par.rm5)
         tkew, lbi, _ = tke_terms(pmxl, floor_pm=True)
         return tkew - dpe + dke, tmx, smx, dpe, dke
 

@@ -152,3 +152,54 @@ def detrain_pmxl(pres1, pres3, coeffs, mltmin=5.0):
         if abs(dpmxl) < onemm or nitr == maxitr:
             break
     return max(mltmin * onem, pmxl)
+
+
+# ---------------------------------------------------------------- #
+# entrainment energetics (mod_mxlayr.F90:877-916, :975-1010)
+# ---------------------------------------------------------------- #
+
+def p_p_alpha_exact(p1, p2, th, s):
+    """EXACT double pressure integral of specific volume — the closed
+    log form the reference documents next to its series
+    (mod_eos.F90:455-459) — independent of the production series."""
+    import numpy as np
+    a1 = eo.a11 + (eo.a12 + eo.a14 * th + eo.a15 * s) * th + (eo.a13 + eo.a16 * s) * s
+    a2 = eo.a21 + (eo.a22 + eo.a24 * th + eo.a25 * s) * th + (eo.a23 + eo.a26 * s) * s
+    b1 = eo.b11 + eo.b12 * th + eo.b13 * s
+    b2 = eo.b21 + eo.b22 * th + eo.b23 * s
+    return (.5 * b2 * (p2 - p1) ** 2
+            + (a2 - a1 * b2 / b1)
+            * ((a1 / b1 + p2) * np.log((a1 + b1 * p2) / (a1 + b1 * p1))
+               - (p2 - p1))) / b1
+
+
+def p_alpha_exact(p1, p2, th, s):
+    import numpy as np
+    a1 = eo.a11 + (eo.a12 + eo.a14 * th + eo.a15 * s) * th + (eo.a13 + eo.a16 * s) * s
+    a2 = eo.a21 + (eo.a22 + eo.a24 * th + eo.a25 * s) * th + (eo.a23 + eo.a26 * s) * s
+    b1 = eo.b11 + eo.b12 * th + eo.b13 * s
+    b2 = eo.b21 + eo.b22 * th + eo.b23 * s
+    return (b2 * (p2 - p1)
+            + (a2 - a1 * b2 / b1)
+            * np.log((a1 + b1 * p2) / (a1 + b1 * p1))) / b1
+
+
+def entrain_energy(p_top, prk, pmxl, tk, sk, tm0, sm0, dpe0, dke0,
+                   uk, vk, um, vm, delt1, rm5, mldjmp=1.e-3,
+                   alpha0=1.e-3, grav=9.806):
+    """Transcription of the entrainment PE/KE terms with EXACT
+    integrals (dpe :879-889 / :995-1005, dke :890-893)."""
+    denom = max(pmxl - p_top, 1e-30)
+    tmx = (tm0 * (prk - p_top) + tk * (pmxl - prk)) / denom
+    smx = (sm0 * (prk - p_top) + sk * (pmxl - prk)) / denom
+    dpe = dpe0 + max(
+        .5 * alpha0 * alpha0 * mldjmp * (prk - p_top) * (pmxl - prk),
+        p_p_alpha_exact(pmxl, p_top, tmx, smx)
+        - p_p_alpha_exact(pmxl, prk, tk, sk)
+        - p_p_alpha_exact(prk, p_top, tm0, sm0)
+        - (p_top - prk) * p_alpha_exact(pmxl, prk, tk, sk)) \
+        * alpha0 / (delt1 * grav)
+    dke = dke0 + .5 * rm5 * (prk - p_top) * (pmxl - prk) \
+        * ((uk - um) ** 2 + (vk - vm) ** 2) * alpha0 \
+        / (denom * delt1 * grav)
+    return tmx, smx, dpe, dke

