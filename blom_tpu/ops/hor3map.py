@@ -403,7 +403,11 @@ def ppm_reconstruct_multi(p, tms, limiting=NON_OSCILLATORY,
     """PPM-reconstruct several fields sharing interfaces p, computing
     the grid-only edge stencil weights once (the reference's
     prepare_reconstruction/reconstruct split, mod_hor3map.F90:268-283:
-    grid preparation is separate from per-field reconstruction)."""
+    grid preparation is separate from per-field reconstruction).
+
+    (A stacked-field variant was measured at bench size and performs
+    the same; the per-field loop with shared weights is kept for
+    simplicity.)"""
     dx = jnp.maximum(p[1:] - p[:-1], 0.) + heps
     w = edge4_weights(dx)
     return [ppm_reconstruct(p, tm, limiting, pc_upper, pc_lower,
