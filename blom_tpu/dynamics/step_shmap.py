@@ -182,6 +182,13 @@ def blom_step_blocks(ctx: _Ctx, grid_b: Grid, e, par: StepParams,
                              ctx.crop(utotnW, M_MOM),
                              ctx.crop(vtotnW, M_MOM))
 
+    # surface thermodynamics restoring (thermf, pointwise)
+    if par.thermf is not None and (par.thermf.trxday > 0.
+                                   or par.thermf.srxday > 0.):
+        from ..phys.thermf import thermf_relax
+        forcing = thermf_relax(gN, s, forcing, par.thermf, n,
+                               forcing.sstclm, forcing.sssclm)
+
     # ALE-path vertical physics: column-local implicit solves; the
     # diffusivity estimate reads neighbor velocities/stress -> small
     # margin
@@ -253,10 +260,6 @@ def make_sharded_step(mesh, grid: Grid, e, par: StepParams,
             'ltedtp=neutral under the shard_map step')
     if par.itrbgc >= 0:
         raise NotImplementedError('BGC under the shard_map step')
-    if par.thermf is not None and (par.thermf.trxday > 0.
-                                   or par.thermf.srxday > 0.):
-        raise NotImplementedError(
-            'thermf relaxation under the shard_map step')
 
     ny, nx = mesh.devices.shape
     ctx = _Ctx(ny, nx, grid.periodic_i, grid.periodic_j)
