@@ -59,6 +59,10 @@ class CppmCoeffs(NamedTuple):
     tmc0: jax.Array      # (12, ...) tracer matrix coefficients
     tmcl: jax.Array
     tmcr: jax.Array
+    dx: jax.Array = None  # grid spacing along the sweep (natural
+    #                       layout; lets the Pallas kernel rebuild
+    #                       tmc0/l/r in VMEM instead of loading 36
+    #                       coefficient slabs — cppm_pallas._tmc_from_dx)
 
 
 def _set_stencil_coeffs_np(sm, dx):
@@ -285,10 +289,14 @@ def init_cppm_coeffs(ip_np: np.ndarray, dx_np: np.ndarray, axis: int,
         d2m = d2m.T
 
     asj = lambda a: jnp.asarray(np.ascontiguousarray(a), dtype)
+    # natural-layout grid spacing for the Pallas kernel (axis=-2 work
+    # arrays are transposed at this point; see dx field docstring)
+    dx_nat = dx_np.T if axis == -2 else dx_np
     return CppmCoeffs(stencil=jnp.asarray(np.ascontiguousarray(stencil)),
                       hevc=asj(hevc),
                       ssc=asj(ssc), scc=asj(scc), d2m=asj(d2m),
-                      tmc0=asj(tmc0), tmcl=asj(tmcl), tmcr=asj(tmcr))
+                      tmc0=asj(tmc0), tmcl=asj(tmcl), tmcr=asj(tmcr),
+                      dx=asj(dx_nat))
 
 
 _SWEEP_AXIS = -1   # sweep axis for _sh; set by cppm_sweep(ax=...)
@@ -531,7 +539,19 @@ def _tracer_edge_coeffs(co: CppmCoeffs, hm, hel, her, periodic):
     return tevc
 
 
-def _parabola_coeffs_fc_nosc(co: CppmCoeffs, hm, tm, hel, her, periodic):
+def _pos_mask(tm, itrc0):
+    """Positivity-clamp mask over the stacked-tracer axis: global tracer
+    index >= 1 (everything but temp, mod_cppm.F90:791-805).  `itrc0` is
+    the global index of tm[0] (nonzero when the Pallas path chunks the
+    tracer stack).  broadcasted_iota keeps this TPU/Mosaic-legal."""
+    nt = tm.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (nt,) + (1,) * (tm.ndim - 1),
+                                   0)
+    return idx + itrc0 >= 1
+
+
+def _parabola_coeffs_fc_nosc(co: CppmCoeffs, hm, tm, hel, her, periodic,
+                             itrc0=0):
     """Tracer edge values, non-oscillatory limiting and parabola
     coefficients (parabola_coeffs_fc_nosc, mod_cppm.F90:490-818).
 
@@ -594,8 +614,7 @@ def _parabola_coeffs_fc_nosc(co: CppmCoeffs, hm, tm, hel, her, periodic):
     ter = jnp.where(need, ter_l, ter)
 
     # positivity for saln/passive tracers (nt >= 1) (mod_cppm.F90:791-805)
-    nt = tm.shape[0]
-    pos = (jnp.arange(nt) >= 1).reshape((nt,) + (1,) * (tm.ndim - 1))
+    pos = _pos_mask(tm, itrc0)
     tel_p = jnp.maximum(tel, 0.)
     ter_p = jnp.maximum(ter, 0.)
     sl3 = hf1m * tm + hf1l * tel_p + hf1r * ter_p
@@ -690,7 +709,8 @@ def _pc_tracer_edges(co: CppmCoeffs, tm, periodic):
     return te, _sh(te, 1, periodic)
 
 
-def _parabola_coeffs_pc_nosc(co: CppmCoeffs, hm, tm, hel, her, periodic):
+def _parabola_coeffs_pc_nosc(co: CppmCoeffs, hm, tm, hel, her, periodic,
+                             itrc0=0):
     """Non-compatible tracer edges + d2-gated non-oscillatory limiting
     (parabola_coeffs_pc_nosc, mod_cppm.F90:1118-1264).  hel/her are the
     already-limited thickness edges (h part identical to
@@ -728,8 +748,7 @@ def _parabola_coeffs_pc_nosc(co: CppmCoeffs, hm, tm, hel, her, periodic):
     ter = jnp.where(need, ter_l, ter)
 
     # positivity for saln/passive tracers (mod_cppm.F90:1239-1252)
-    nt = tm.shape[0]
-    pos = (jnp.arange(nt) >= 1).reshape((nt,) + (1,) * (tm.ndim - 1))
+    pos = _pos_mask(tm, itrc0)
     tel_p = jnp.maximum(tel, 0.)
     ter_p = jnp.maximum(ter, 0.)
     sl3 = 2. * (3. * tm - 2. * tel_p - ter_p)
@@ -857,15 +876,41 @@ def cppm_sweep(hm_in, tm, ca, db, du, dl, ai, co: CppmCoeffs,
     flux-area divergence for the second Strang pass.
 
     Returns (h_new_raw, tm_new, hf, htf): h_new_raw = ho - div(hf)*ai
-    (before the dp clamp), updated tracers, and the edge fluxes."""
+    (before the dp clamp), updated tracers, and the edge fluxes.
+
+    On TPU with f32 fields the sweep dispatches to the fused Pallas
+    kernel (cppm_pallas.cppm_sweep_pallas) — one VMEM-resident pass over
+    (k-block, row-block, sweep-axis) tiles; the jnp path below is the
+    CPU/f64 reference implementation and the two are element-for-element
+    the same program."""
+    if _pallas_ok(hm_in, co):
+        from .cppm_pallas import cppm_sweep_pallas
+        return cppm_sweep_pallas(hm_in, tm, ca, db, du, dl, ai, co,
+                                 periodic, div_corr=div_corr,
+                                 compatibility=compatibility,
+                                 limiting=limiting, ax=ax)
     with _axis(ax):
         return _cppm_sweep_body(hm_in, tm, ca, db, du, dl, ai, co,
                                 periodic, div_corr, compatibility,
                                 limiting)
 
 
+def _pallas_ok(hm, co) -> bool:
+    """Use the fused Pallas sweep kernel?  TPU backend + f32 + dx
+    available; BLOM_TPU_PALLAS=0 disables (escape hatch)."""
+    import os
+    if os.environ.get('BLOM_TPU_PALLAS', '1') == '0':
+        return False
+    if co.dx is None or hm.dtype != jnp.float32:
+        return False
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
+
 def _cppm_sweep_body(hm_in, tm, ca, db, du, dl, ai, co, periodic,
-                     div_corr, compatibility, limiting):
+                     div_corr, compatibility, limiting, itrc0=0):
     ho = jnp.maximum(0., hm_in) + dpeps
     hm = ho
     if div_corr is not None:
@@ -883,10 +928,10 @@ def _cppm_sweep_body(hm_in, tm, ca, db, du, dl, ai, co, periodic,
         hel, her = _h_edges_nosc(co, hm, periodic)
         if compatibility == 'full':
             hpc, tpc = _parabola_coeffs_fc_nosc(co, hm, tm, hel, her,
-                                                periodic)
+                                                periodic, itrc0)
         else:
             hpc, tpc = _parabola_coeffs_pc_nosc(co, hm, tm, hel, her,
-                                                periodic)
+                                                periodic, itrc0)
     hf, htf = _flux_integration(ca, ai, db, du, dl, hpc, tpc, periodic)
 
     hf_e = _sh(hf, 1, periodic)

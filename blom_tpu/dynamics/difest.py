@@ -83,7 +83,12 @@ def difest_lateral(grid: Grid, s: State, cf: CmnFields,
     # stability limit makes diffus/eddtra explode.
     difint = jnp.minimum(grid.difmxp,
                          .5 * (K_i[:-1] + K_i[1:]))   # layer values
-    difiso = jnp.minimum(grid.difmxp, par.egidfq * difint)
+    # isopycnal diffusivity keeps the egmndf/egmxdf floor/cap after the
+    # egidfq scaling: min(difmxp, egmxdf, max(egmndf, difint*egidfq))
+    # (mod_difest.F90:1914-1916)
+    difiso = jnp.minimum(grid.difmxp,
+                         jnp.clip(par.egidfq * difint,
+                                  par.egmndf, par.egmxdf))
 
     return dataclasses.replace(
         dfl, difint=difint, difiso=difiso, difwgt=difwgt)

@@ -257,20 +257,6 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
         forcing = thermf_relax(grid, s, forcing, par.thermf, n,
                                forcing.sstclm, forcing.sssclm)
 
-    # tracer source/sink update (updtrc, mod_blom_step.F90:209-213)
-    if par.itriag >= 0:
-        from ..tracers.idlage import idlage_step
-        s = idlage_step(s, par.itriag, n, delt1, par.nday_in_year)
-    if par.itrbgc >= 0 and bgc_forcing is not None:
-        from ..bgc.step import hamocc_step
-        s, bgc_diags = hamocc_step(grid, e, par.bgc, s, bgc_forcing,
-                                   par.itrbgc, n, m, delt1,
-                                   ti=par.bgc_ti, cp=par.bgc_cp)
-        if bgc_diag_out is not None:
-            # per-step BGC diagnostics for bgcmean accumulation
-            # (accfields, mo_hamocc_step.F90:101)
-            bgc_diag_out.append(bgc_diags)
-
     if par.vcoord_isopyc:
         # bulk mixed layer (mxlayr, mod_blom_step.F90:191-193)
         s, dfl = mxlayr(grid, e, s, forcing, par.mxlayr, m, n, delt1,
@@ -286,6 +272,22 @@ def blom_step(grid: Grid, e: eos.EosParams, par: StepParams,
         s = ale_vdifft(grid, e, s, forcing, vf, m, n, delt1)
         s = ale_vdiffm(grid, s, vf, m, n, delt1)
         ckpt(n)   # budget_sums(4,n) after ale_vdiffm (:205)
+
+    # tracer source/sink update (updtrc, mod_blom_step.F90:209-213) —
+    # AFTER vertical physics, so ale_vdifft-diffused tracers feed the
+    # source/sink terms exactly as in the reference sequence.
+    if par.itriag >= 0:
+        from ..tracers.idlage import idlage_step
+        s = idlage_step(s, par.itriag, n, delt1, par.nday_in_year)
+    if par.itrbgc >= 0 and bgc_forcing is not None:
+        from ..bgc.step import hamocc_step
+        s, bgc_diags = hamocc_step(grid, e, par.bgc, s, bgc_forcing,
+                                   par.itrbgc, n, m, delt1,
+                                   ti=par.bgc_ti, cp=par.bgc_cp)
+        if bgc_diag_out is not None:
+            # per-step BGC diagnostics for bgcmean accumulation
+            # (accfields, mo_hamocc_step.F90:101)
+            bgc_diag_out.append(bgc_diags)
 
     ckpt(n)   # budget_sums(5,n) after updtrc (:215)
 

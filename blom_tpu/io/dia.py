@@ -121,23 +121,27 @@ def _bfsq(c, n):
     return jnp.concatenate([bv[:1], bv], axis=0)
 
 
-def _ivol(vel, edge):
-    """Ice volume transport through cell edges [m3 s-1]
-    (H2D_IVOLU/IVOLV): drift velocity x ice thickness x concentration
-    x edge length."""
+def _ivol(stagger):
+    """Ice volume at u/v-points [m] (ACC_IVOLU/IVOLV): hicem*ficem
+    summed from the two p-cells adjacent to the edge
+    (mod_dia.F90:1136,1141 util1/util3)."""
     def fn(c, n):
         if c.si is None:
             return jnp.zeros(c.g.shape, c.s.pb.dtype)
-        return (getattr(c.si, vel) * c.si.hicem * c.si.ficem
-                * getattr(c.g, edge))
+        hf = c.si.hicem * c.si.ficem
+        if stagger == 'u':
+            return (c.g.im1(hf) + hf) * c.g.iu
+        return (c.g.jm1(hf) + hf) * c.g.iv
     return fn
 
 
 def _dpvor(c, n):
     """Thickness used in the potential-vorticity definition
-    (mod_momtum.F90:473-575 dpvor)."""
+    (mod_momtum.F90:473-575 dpvor) — momtum evaluates it at the MID
+    time level m = 1-n, so the diagnostic does too."""
     from ..dynamics.momtum import potvor_field
-    _, dpv = potvor_field(c.g, c.s.dp[n], c.s.u[n], c.s.v[n],
+    m = 1 - n
+    _, dpv = potvor_field(c.g, c.s.dp[m], c.s.u[m], c.s.v[m],
                           return_dpvor=True)
     return dpv
 
@@ -455,8 +459,8 @@ FIELD_REGISTRY: Dict[str, Tuple[str, Callable]] = {
     'uice': ('2d', _si('uicem')),
     'vice': ('2d', _si('vicem')),
     'alb': ('2d', _si('albm')),
-    'ivolu': ('2d', _ivol('uicem', 'scuy')),
-    'ivolv': ('2d', _ivol('vicem', 'scvx')),
+    'ivolu': ('2d', _ivol('u')),
+    'ivolv': ('2d', _ivol('v')),
     # ---- KPP boundary-layer depth (H2D_BLD/MAXBLD, the bldepth of
     # mod_difest.F90's CVMix wrap) ----
     'bld': ('2d', lambda c, n: c.dfl.bld),

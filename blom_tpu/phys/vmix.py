@@ -225,8 +225,9 @@ def difest_vertical(grid: Grid, e: eos.EosParams, s: State,
     kvisc = jnp.maximum(nu_shear + conv + par.visc_bg, par.nubmin)
 
     if par.twedon is not None:
+        # tidal-dissipation energy enters the TRACER diffusivity only
+        # (difdia, mod_difest.F90:2954); momentum viscosity is untouched.
         kdiff = kdiff + _tidal_term(grid, par, dp, p, n2)
-        kvisc = kvisc + _tidal_term(grid, par, dp, p, n2)
 
     zero_top = jnp.zeros_like(kdiff[:1])
     Kdiff = jnp.concatenate([zero_top, kdiff], axis=0) * grid.ip
