@@ -15,6 +15,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.reduce import ksum
+
 from .params import BgcParams, BgcTracers as T
 
 #: river input field indices (mo_param1_bgc.F90:196-205,550-557)
@@ -39,7 +41,7 @@ def apply_rivin(oc, rivin, dz, kmle_mask, dtb, p: BgcParams):
     rivin: (NRIV, J, I) [kmol m-2 yr-1]; kmle_mask: (K, J, I) 1 within
     the mixed layer."""
     fdt = dtb / 365.
-    volij = jnp.maximum(jnp.sum(dz * kmle_mask, axis=0), 1.e-12)
+    volij = jnp.maximum(ksum(dz * kmle_mask, axis=0), 1.e-12)
     q = kmle_mask * (fdt / volij)[None]        # (K, J, I) per-volume
 
     def add(idx, field):

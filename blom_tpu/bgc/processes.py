@@ -16,6 +16,8 @@ init, mo_param_bgc.F90:780-846).
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ..ops.reduce import ksum
 from jax import lax
 
 from .params import BgcParams, BgcTracers as T
@@ -119,10 +121,10 @@ def ocprod(oc, ptho, dz, strahl, satoxy, lyr, dtb, p: BgcParams,
     for idx, d in upd.items():
         oc = oc.at[idx].add(jnp.where(wet, d, 0.))
 
-    intphosy = jnp.sum(jnp.where(wet, phosy * p.rcar * dz, 0.), axis=0)
-    expoor = jnp.sum(jnp.where(wet, export * p.rcar * dz, 0.), axis=0)
-    expoca = jnp.sum(jnp.where(wet, delcar * dz, 0.), axis=0)
-    exposi = jnp.sum(jnp.where(wet, delsil * dz, 0.), axis=0)
+    intphosy = ksum(jnp.where(wet, phosy * p.rcar * dz, 0.), axis=0)
+    expoor = ksum(jnp.where(wet, export * p.rcar * dz, 0.), axis=0)
+    expoca = ksum(jnp.where(wet, delcar * dz, 0.), axis=0)
+    exposi = ksum(jnp.where(wet, delsil * dz, 0.), axis=0)
 
     # --- aerobic remineralization (mo_ocprod.F90:620-800) ----------
     aerob = oc[T.oxygen] > p.o2thresh_aerob
@@ -183,7 +185,7 @@ def ocprod(oc, ptho, dz, strahl, satoxy, lyr, dtb, p: BgcParams,
     oc = oc.at[T.gasnit].add(p.rdnit2 * remin_dn + p.rdn2o2 * remin2o)
     oc = oc.at[T.iron].add(p.riron * (remin_dn + remin2o))
     oc = oc.at[T.an2o].add(-p.rdn2o1 * remin2o)
-    intdnit = jnp.sum(p.rdnit0 * remin_dn * dz, axis=0)
+    intdnit = ksum(p.rdnit0 * remin_dn * dz, axis=0)
 
     # --- sulfate reduction (ocprod loop3, mo_ocprod.F90:965-1010) --
     sul = hypox & (oc[T.ano3] < p.no3thresh_sulf)
@@ -226,5 +228,5 @@ def cyano(oc, ptho, dz, euph, dtb, p: BgcParams):
     oc = oc.at[T.gasnit].add(-dansp * 0.5)
     oc = oc.at[T.oxygen].add(-dansp * 1.25)
     oc = oc.at[T.alkali].add(-dansp)
-    intnfix = jnp.sum(dansp * dz, axis=0)
+    intnfix = ksum(dansp * dz, axis=0)
     return oc, intnfix

@@ -18,7 +18,10 @@ same speed enters both the budget and the flux).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+from ..ops.reduce import ksum as ksum2
 from jax import lax
 
 from .params import BgcParams, BgcTracers as T
@@ -68,13 +71,28 @@ def sinking(oc, dz, ptiestu, omask, dtb, p: BgcParams, extra=()):
         w = w.at[:, 0].set(jnp.where(poc_rows[:, None, None],
                                      p.wmin * dtb, w[:, 0]))
 
-    tco = jnp.sum(jnp.where(wet[None], conc * dz[None], 0.), axis=1)
+    def ksum(a):
+        # fixed-order (ascending-k chained) column sum: jnp.sum's
+        # association order is a compiler choice that varies with the
+        # block shape, which breaks the bitwise mesh-factorization
+        # invariance of the sharded step (parallel/repsum.py rationale)
+        col = a[:, 0]
+        for k in range(1, a.shape[1]):
+            col = col + a[:, k]
+        return col
+
+    tco = ksum(jnp.where(wet[None], conc * dz[None], 0.))
 
     def body(carry, args):
         dconc, dw = carry                         # donor conc/speed (4,J,I)
         ck, dzk, wk, thickk, wetk = args
         dzs = jnp.maximum(dzk, 1.e-12)
-        new_thick = (ck * dzk + dconc * dw) / (dzs + wk)
+        # fma-contraction pin: XLA:CPU's contraction choice for this
+        # product-into-sum varies with the shard_map block shape,
+        # breaking bitwise mesh-factorization invariance of the BGC
+        # tracers (ops/reduce.py rationale)
+        _cz, _dd = jax.lax.optimization_barrier((ck * dzk, dconc * dw))
+        new_thick = (_cz + _dd) / (dzs + wk)
         new = jnp.where(thickk[None], new_thick,
                         jnp.where(wetk[None], dconc, ck))
         dconc2 = jnp.where(thickk[None], new, dconc)
@@ -88,8 +106,7 @@ def sinking(oc, dz, ptiestu, omask, dtb, p: BgcParams, extra=()):
     new_conc = new_conc.swapaxes(0, 1)            # (4, K, J, I)
 
     bot = dconc * dw                              # bottom flux per tracer
-    tcn = (jnp.sum(jnp.where(wet[None], new_conc * dz[None], 0.), axis=1)
-           + bot)
+    tcn = ksum(jnp.where(wet[None], new_conc * dz[None], 0.)) + bot
     q = jnp.where((tco > 1.e-12) & (tcn > 1.e-12), tco / tcn, 1.)
     new_conc = jnp.where(wet[None], new_conc * q[:, None], new_conc)
     bot = bot * q
@@ -104,7 +121,7 @@ def sinking(oc, dz, ptiestu, omask, dtb, p: BgcParams, extra=()):
     if p.sedbypass:
         # redistribute bottom fluxes over the column; opal and CaCO3
         # remineralize instantaneously (mo_vertical_fluxes.F90:472-534)
-        colz = jnp.maximum(jnp.sum(jnp.where(wet, dz, 0.), axis=0),
+        colz = jnp.maximum(ksum2(jnp.where(wet, dz, 0.), axis=0),
                            1.e-12)
         florca = jnp.where(wet, (prorca / colz)[None], 0.)
         flcaca = jnp.where(wet, (prcaca / colz)[None], 0.)

@@ -248,16 +248,16 @@ def run(model: Model, nsteps: int, dia_group=None, cnsvdi: bool = False,
     par = model.par
     mesh = _state_mesh(s)
     if mesh is not None:
-        if not (cnsvdi or with_bgcm):
+        if not with_bgcm:
             try:
                 from ..dynamics.step_shmap import make_sharded_step
                 step_fn = make_sharded_step(
                     mesh, model.grid, model.e, par, model.coeffs_i,
-                    model.coeffs_j, model.forcing, model.swabs)
+                    model.coeffs_j, model.forcing, model.swabs,
+                    bgc_forcing=model.bgc_forcing)
             except NotImplementedError:
                 step_fn = None
-        if step_fn is None and not model.grid.arctic \
-                and par.barotp_fn is None:
+        if step_fn is None and par.barotp_fn is None:
             from ..dynamics.barotp_shmap import make_barotp_shmap
             par = par._replace(barotp_fn=make_barotp_shmap(mesh))
 

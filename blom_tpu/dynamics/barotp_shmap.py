@@ -16,8 +16,9 @@ substeps per exchange: collective count per baroclinic step drops from
 tests/test_barotp_shmap.py by counting collective-permutes in the
 compiled HLO).
 
-Restrictions: tripolar (arctic) grids take the GSPMD path for now —
-the fold permute inside shard_map is a later work item.
+Tripolar (arctic) grids are supported: every exchange fills the top
+mesh row's north ghosts with fold rows (parallel.halo.fold_fixup_stack;
+the distributed fold of mod_xc.F90:2518-2700).
 """
 
 from __future__ import annotations
@@ -38,14 +39,25 @@ RINGS_PER_SUBSTEP = 3
 SUBS_PER_EXCH = 2
 
 
-def wide_tree(tree, margin, ny, nx, per_i, per_j):
+def wide_tree(tree, margin, ny, nx, per_i, per_j, fold_specs=None):
     """Halo-widen a whole pytree with ONE exchange: stack all leaves
     (grouped by dtype) into single (N, j, i) arrays, exchange, unstack
     — 4 collective-permutes per dtype group regardless of field
-    count."""
+    count.
+
+    With `fold_specs` (a flat list aligned with jax.tree.flatten(tree):
+    (kind, sign, partner_leaf_idx) per leaf or None to skip) the top
+    mesh row's north ghosts are tripolar fold rows instead of zeros
+    (parallel.halo.fold_fixup_stack; mod_xc.F90:2518-2700)."""
     import jax as _jax
+    from ..parallel.halo import fold_fixup_stack
+    _V = {'p': 0, 'u': 1, 'v': 2, 'q': 3}
     leaves, treedef = _jax.tree.flatten(tree)
     out = [None] * len(leaves)
+
+    def nrows(l):
+        return int(np.prod(l.shape[:-2])) if l.ndim > 2 else 1
+
     dtypes = sorted({str(l.dtype) for l in leaves if l.ndim >= 2})
     for dt in dtypes:
         idxs = [i for i, l in enumerate(leaves)
@@ -54,16 +66,97 @@ def wide_tree(tree, margin, ny, nx, per_i, per_j):
             [leaves[i].reshape((-1,) + leaves[i].shape[-2:])
              for i in idxs], 0)
         st = halo_exchange(st, margin, ny, nx, per_i, per_j)
+        if fold_specs is not None:
+            offs = {}
+            pos = 0
+            for i in idxs:
+                offs[i] = pos
+                pos += nrows(leaves[i])
+            variant = np.full(pos, -1, np.int32)
+            sign = np.ones(pos)
+            srcr = np.arange(pos)
+            for i in idxs:
+                spec = fold_specs[i]
+                if spec is None:
+                    continue
+                k, sg, partner = spec
+                r0, nr = offs[i], nrows(leaves[i])
+                variant[r0:r0 + nr] = _V[k]
+                sign[r0:r0 + nr] = sg
+                if partner is not None:
+                    if partner not in offs:
+                        raise ValueError(
+                            'fold partner leaf in a different dtype '
+                            'group')
+                    srcr[r0:r0 + nr] = np.arange(
+                        offs[partner], offs[partner] + nr)
+            if (variant >= 0).any():
+                st = fold_fixup_stack(st, margin, ny, nx, variant,
+                                      sign, srcr)
         pos = 0
         for i in idxs:
             l = leaves[i]
-            sz = int(np.prod(l.shape[:-2])) if l.ndim > 2 else 1
+            sz = nrows(l)
             blk = st[pos:pos + sz]
             out[i] = blk.reshape(l.shape[:-2] + blk.shape[-2:])
             pos += sz
     for i, l in enumerate(leaves):
         if out[i] is None:
             out[i] = l          # scalars / 1-D leaves pass through
+    return _jax.tree.unflatten(treedef, out)
+
+
+def sync_tree(tree, ny, nx, fold_specs):
+    """Block-local arctic_sync over a pytree of UNWIDENED blocks: one
+    stacked fold_sync_stack per dtype group (the shard_map counterpart
+    of parallel.arctic.sync_state)."""
+    import jax as _jax
+    from ..parallel.halo import fold_sync_stack
+    _V = {'p': 0, 'u': 1, 'v': 2, 'q': 3}
+    leaves, treedef = _jax.tree.flatten(tree)
+    out = [None] * len(leaves)
+
+    def nrows(l):
+        return int(np.prod(l.shape[:-2])) if l.ndim > 2 else 1
+
+    dtypes = sorted({str(l.dtype) for l in leaves if l.ndim >= 2})
+    for dt in dtypes:
+        idxs = [i for i, l in enumerate(leaves)
+                if l.ndim >= 2 and str(l.dtype) == dt]
+        st = jnp.concatenate(
+            [leaves[i].reshape((-1,) + leaves[i].shape[-2:])
+             for i in idxs], 0)
+        offs = {}
+        pos = 0
+        for i in idxs:
+            offs[i] = pos
+            pos += nrows(leaves[i])
+        variant = np.full(pos, -1, np.int32)
+        sign = np.ones(pos)
+        srcr = np.arange(pos)
+        for i in idxs:
+            spec = fold_specs[i]
+            if spec is None:
+                continue
+            k, sg, partner = spec
+            r0, nr = offs[i], nrows(leaves[i])
+            variant[r0:r0 + nr] = _V[k]
+            sign[r0:r0 + nr] = sg
+            if partner is not None:
+                srcr[r0:r0 + nr] = np.arange(offs[partner],
+                                             offs[partner] + nr)
+        # variant -1 rows keep their top row unchanged inside the
+        # stacked sync
+        st = fold_sync_stack(st, ny, nx, variant, sign, srcr)
+        pos = 0
+        for i in idxs:
+            l = leaves[i]
+            sz = nrows(l)
+            out[i] = st[pos:pos + sz].reshape(l.shape)
+            pos += sz
+    for i, l in enumerate(leaves):
+        if out[i] is None:
+            out[i] = l
     return _jax.tree.unflatten(treedef, out)
 
 
@@ -80,10 +173,15 @@ def crop_tree(tree, margin):
 def barotp_block(ny: int, nx: int, per_i: bool, per_j: bool,
                  fld_l, ubflxs, vbflxs, ubflxs_p, vbflxs_p,
                  m: int, n: int, lstep: int, dlt, par: bt.BarotpParams,
-                 subs_per_exch: int = SUBS_PER_EXCH):
+                 subs_per_exch: int = SUBS_PER_EXCH,
+                 arctic: bool = False):
     """Block-local margin-k barotropic core: must run inside shard_map
     over a ('y','x') mesh.  Inputs are UNPADDED local blocks; outputs
-    are unpadded (out, sums) dicts for bt.finalize."""
+    are unpadded (out, sums) dicts for bt.finalize.
+
+    With `arctic`, every exchange fills the top mesh row's north
+    ghosts with tripolar fold rows (the reference's per-substep fold
+    halos, mod_barotp.F90:387-397 + mod_xc.F90:2518-2700)."""
     margin = RINGS_PER_SUBSTEP * subs_per_exch
 
     def wide(a):
@@ -93,9 +191,16 @@ def barotp_block(ny: int, nx: int, per_i: bool, per_j: bool,
         return a[..., margin:-margin, margin:-margin]
 
     # widen every per-step-constant field once (one exchange)
+    fold_specs = None
+    if arctic:
+        from ..parallel.fold_specs import leaf_specs
+        fold_specs = leaf_specs(
+            (fld_l, ubflxs, vbflxs, ubflxs_p, vbflxs_p),
+            overrides={1: ('u', -1.), 2: ('v', -1.),
+                       3: ('u', -1.), 4: ('v', -1.)})
     fld_w, ubflxs, vbflxs, ubflxs_p, vbflxs_p = wide_tree(
         (fld_l, ubflxs, vbflxs, ubflxs_p, vbflxs_p), margin,
-        ny, nx, per_i, per_j)
+        ny, nx, per_i, per_j, fold_specs=fold_specs)
     sh = bt.local_shifts()
 
     def exch_carries(pb_t, ubflx_t, vbflx_t):
@@ -104,6 +209,13 @@ def barotp_block(ny: int, nx: int, per_i: bool, per_j: bool,
         st = jnp.concatenate(
             [crop(pb_t), crop(ubflx_t), crop(vbflx_t)], axis=0)
         st = wide(st)
+        if arctic:
+            from ..parallel.halo import fold_fixup_stack
+            st = fold_fixup_stack(
+                st, margin, ny, nx,
+                variant=np.array([0, 0, 1, 1, 2, 2]),
+                sign=np.array([1., 1., -1., -1., -1., -1.]),
+                src_rows=np.arange(6))
         return st[:2], st[2:4], st[4:6]
 
     def runner(nb, substep_fn, half_, carry):
@@ -161,18 +273,14 @@ def make_barotp_shmap(mesh, subs_per_exch: int = SUBS_PER_EXCH):
 
     def barotp_fn(grid: Grid, s: State, utotn, vtotn, m: int, n: int,
                   lstep: int, dlt, par: bt.BarotpParams) -> State:
-        if grid.arctic:
-            # fold-aware exchange inside shard_map not implemented;
-            # use the GSPMD path
-            return bt.barotp(grid, s, utotn, vtotn, m, n, lstep, dlt,
-                             par)
         fld = bt._prologue(grid, s, utotn, vtotn, m, n, par)
         per_i, per_j = grid.periodic_i, grid.periodic_j
+        arctic = grid.arctic
 
         def local(fld_l, ubflxs, vbflxs, ubflxs_p, vbflxs_p):
             return barotp_block(ny, nx, per_i, per_j, fld_l, ubflxs,
                                 vbflxs, ubflxs_p, vbflxs_p, m, n, lstep,
-                                dlt, par, subs_per_exch)
+                                dlt, par, subs_per_exch, arctic=arctic)
 
         def specs_like(tree):
             return jax.tree.map(

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..core.grid import Grid
 from ..core.state import State
-from ..parallel.repsum import repsum_3d
+from ..parallel.repsum import repsum_2d
 
 
 class BudgetSums(NamedTuple):
@@ -27,16 +27,39 @@ class BudgetSums(NamedTuple):
     salt: jnp.ndarray   # sum S*dp*area
 
 
+def budget_col_sums(grid: Grid, s: State, lvl: int):
+    """Column-collapsed (ascending-k chained, f64) mass/heat/salt
+    weights — the block-local half of budget_sums.  Pointwise in
+    (j, i), so it runs unchanged inside shard_map; repsum_2d of the
+    assembled global fields then reproduces budget_sums BITWISE (the
+    k-chain order is identical per element regardless of sharding)."""
+    w = (grid.scp2 * grid.ip).astype(jnp.float64)
+    dp = s.dp[lvl].astype(jnp.float64)
+
+    def kchain(a):
+        col = a[0]
+        for k in range(1, a.shape[0]):
+            col = col + a[k]
+        return col
+
+    return {'mass': kchain(dp * w),
+            'heat': kchain(s.temp[lvl].astype(jnp.float64) * dp * w),
+            'salt': kchain(s.saln[lvl].astype(jnp.float64) * dp * w)}
+
+
+def budget_sums_from_cols(col) -> BudgetSums:
+    """Finish budget sums from (global) column-collapsed fields with
+    the xcsum strip hierarchy."""
+    return BudgetSums(mass=repsum_2d(col['mass']),
+                      heat=repsum_2d(col['heat']),
+                      salt=repsum_2d(col['salt']))
+
+
 def budget_sums(grid: Grid, s: State, lvl: int) -> BudgetSums:
     """Global mass/heat/salt sums of time level `lvl`
     (budget_sums, mod_budget.F90:69-200), bit-reproducible across
     shardings (xcsum strip scheme)."""
-    w = (grid.scp2 * grid.ip).astype(jnp.float64)
-    dp = s.dp[lvl].astype(jnp.float64)
-    mass = repsum_3d(dp * w)
-    heat = repsum_3d(s.temp[lvl].astype(jnp.float64) * dp * w)
-    salt = repsum_3d(s.saln[lvl].astype(jnp.float64) * dp * w)
-    return BudgetSums(mass=mass, heat=heat, salt=salt)
+    return budget_sums_from_cols(budget_col_sums(grid, s, lvl))
 
 
 def budget_deltas(b0: BudgetSums, b1: BudgetSums):

@@ -19,6 +19,8 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+
+from ..ops.reduce import ksum
 from jax import lax
 
 from ..core import eos
@@ -85,12 +87,12 @@ def convec(grid: Grid, e: eos.EosParams, s: State, m: int, n: int) -> State:
     hist = kfpl < kfplo
 
     def _merge(rng):
-        dps = jnp.sum(jnp.where(rng, delp, 0.), axis=0)
+        dps = ksum(jnp.where(rng, delp, 0.), axis=0)
         q = 1. / jnp.maximum(dps, epsilp)
-        ttmp = jnp.sum(jnp.where(rng, ttem * delp, 0.), axis=0) * q
-        stmp = jnp.sum(jnp.where(rng, ssal * delp, 0.), axis=0) * q
-        trmix = (jnp.sum(jnp.where(rng[None], ttrc * delp[None], 0.),
-                         axis=1) * q[None]) if ntr else None
+        ttmp = ksum(jnp.where(rng, ttem * delp, 0.), axis=0) * q
+        stmp = ksum(jnp.where(rng, ssal * delp, 0.), axis=0) * q
+        trmix = (ksum(jnp.where(rng[None], ttrc * delp[None], 0.),
+                      axis=1) * q[None]) if ntr else None
         return dps, ttmp, stmp, trmix
 
     # case A: kfplo within the column (:110-148)
@@ -172,8 +174,8 @@ def convec(grid: Grid, e: eos.EosParams, s: State, m: int, n: int) -> State:
                                jnp.maximum(kmix, 2)).astype(jnp.int32)
 
         # mass absorbed from the interior
-        dps_int = jnp.sum(jnp.where(absorbed & (kidx >= 2), delp, 0.),
-                          axis=0)
+        dps_int = ksum(jnp.where(absorbed & (kidx >= 2), delp, 0.),
+                       axis=0)
 
         # apply updates where mixing happened
         upd = any_mix & (kmix >= kfpl)
@@ -186,8 +188,8 @@ def convec(grid: Grid, e: eos.EosParams, s: State, m: int, n: int) -> State:
 
         if ntr:
             # mixed tracer value over ML + absorbed layers (pre-update dp)
-            trmix = (jnp.sum(jnp.where(zero_zone[None],
-                                       ttrc * delp[None], 0.), axis=1)
+            trmix = (ksum(jnp.where(zero_zone[None],
+                                    ttrc * delp[None], 0.), axis=1)
                      + ttrc[:, 1] * delp[1][None]) \
                 / jnp.maximum(dps, epsilp)[None]
             place = (at_kfpl | between)[None] & upd[None, None]

@@ -213,11 +213,14 @@ def init_cppm_coeffs(ip_np: np.ndarray, dx_np: np.ndarray, axis: int,
     (j, i) layout and the sweep runs along the j axis in place (no
     transposes of the 3-D state).
 
-    With `arctic` (j-sweep on a tripolar grid) the domain is extended by
-    NGHOST_ARCTIC fold ghost rows (p-grid mirror: ghost jj+1+m =
-    i-reversed row jj-2-m, mod_xc.F90:2430-2442) so the sweep sees the
-    correct stencil across the bipolar seam."""
-    if arctic and axis == -2:
+    With `arctic` the domain is extended by NGHOST_ARCTIC fold ghost
+    rows (p-grid mirror: ghost jj+1+m = i-reversed row jj-2-m,
+    mod_xc.F90:2430-2442) so the sweep sees the correct stencil across
+    the bipolar seam: for axis=-2 the ghost rows join the sweep columns;
+    for axis=-1 they are extra independent sweep rows whose i-stencil
+    coefficients come from the mirrored geometry (used by the shard_map
+    step's fold halos, step_shmap._fix_coeff_ghosts)."""
+    if arctic:
         gh_ip = [ip_np[-3 - mm][::-1][None] for mm in range(NGHOST_ARCTIC)]
         gh_dx = [dx_np[-3 - mm][::-1][None] for mm in range(NGHOST_ARCTIC)]
         ip_np = np.concatenate([ip_np] + gh_ip, axis=0)

@@ -230,9 +230,14 @@ def _sweep_chunk(hm, tm, ca, db, du, dl, ai, co, periodic, div_corr,
 
     kernel = _make_kernel(periodic, has_div, compatibility, limiting,
                           ax, itrc0)
+    # the fused expression DAG keeps ~40 block-sized temporaries live;
+    # raise Mosaic's scoped-VMEM cap above the 16 MB default (v5e has
+    # 128 MiB VMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
-        out_shape=out_shape, interpret=interpret)(*args)
+        out_shape=out_shape, interpret=interpret,
+        compiler_params=params)(*args)
 
 
 def cppm_sweep_pallas(hm, tm, ca, db, du, dl, ai, co: CppmCoeffs,

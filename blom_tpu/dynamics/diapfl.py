@@ -23,6 +23,8 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+
+from ..ops.reduce import ksum
 from jax import lax
 
 from ..core import eos
@@ -132,7 +134,7 @@ def diapfl(grid: Grid, e: eos.EosParams, s: State, difdia, m: int,
     in_col = (kidx >= kmin) & (kidx <= kmax)
     delp_c = jnp.where(in_col, delp, 0.)
     pres = cumulative_p(delp_c)                       # (kk+1, H)
-    pbot = jnp.sum(jnp.where(in_col, delp_c, 0.), axis=0)
+    pbot = ksum(jnp.where(in_col, delp_c, 0.), axis=0)
 
     # ---- ML fluxes (:181-198)
     d0 = jnp.sum(jnp.where(kidx == kmin, delp_c, 0.), axis=0)

@@ -41,6 +41,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.reduce import ksum
 from jax import lax
 
 from ..core import eos
@@ -84,10 +86,17 @@ def _bg2(grid: Grid, e: eos.EosParams, s: State, n: int):
     """Squared lateral buoyancy gradient of the mixed layer
     (mod_mxlayr.F90:222-280), with the reference's one-sided treatment
     at land edges."""
-    dp1, dp2 = s.dp[n][0], s.dp[n][1]
+    # barrier-isolated: this subgraph shares inputs (dp, temp, saln)
+    # with the rest of the mxlayr DAG; without the fences XLA re-fuses
+    # the shared subexpressions differently per block shape and the
+    # 1-ulp bg2 differences break the bitwise mesh-factorization
+    # invariance of the sharded step (via crs -> TKE -> entrainment)
+    dp1, dp2, t1, t2, s1, s2 = jax.lax.optimization_barrier(
+        (s.dp[n][0], s.dp[n][1], s.temp[n][0], s.temp[n][1],
+         s.saln[n][0], s.saln[n][1]))
     q = 1. / jnp.maximum(dp1 + dp2, epsilp)
-    tmxl = (s.temp[n][0] * dp1 + s.temp[n][1] * dp2) * q
-    smxl = (s.saln[n][0] * dp1 + s.saln[n][1] * dp2) * q
+    tmxl = (t1 * dp1 + t2 * dp2) * q
+    smxl = (s1 * dp1 + s2 * dp2) * q
     b = grav * alpha0 * eos.sig0(e, tmxl, smxl)
 
     qx = (b - grid.im1(b)) * grid.scuxi
@@ -101,7 +110,7 @@ def _bg2(grid: Grid, e: eos.EosParams, s: State, n: int):
     v2p = grid.jp1(v2, 'v', True)
     nv = grid.iv + grid.jp1(grid.iv, 'v', True)
     gy = jnp.where(nv > 1.5, .5 * (v2 + v2p), v2 + v2p)
-    return (gx + gy + slbg0) * grid.ip
+    return jax.lax.optimization_barrier((gx + gy + slbg0) * grid.ip)
 
 
 
@@ -169,9 +178,14 @@ def _mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
         swal2 = jnp.full(H, 20., dtype)
 
     # ---- TKE budget coefficients (mod_mxlayr.F90:330-386)
+    # (fma-contraction pin, see the t2_ent note below: tmxl feeds both
+    # the TKE coefficients and the detrain-branch ML content)
     q12 = 1. / jnp.maximum(delp[0] + delp[1], epsilp)
-    tmxl = (ttem[0] * delp[0] + ttem[1] * delp[1]) * q12
-    smxl = (ssal[0] * delp[0] + ssal[1] * delp[1]) * q12
+    _t0d, _t1d, _s0d, _s1d = jax.lax.optimization_barrier(
+        (ttem[0] * delp[0], ttem[1] * delp[1],
+         ssal[0] * delp[0], ssal[1] * delp[1]))
+    tmxl = (_t0d + _t1d) * q12
+    smxl = (_s0d + _s1d) * q12
     alfa = -alpha0 * eos.dsigdt0(e, tmxl, smxl)
     beta = alpha0 * eos.dsigds0(e, tmxl, smxl)
     bfltot = grav * alpha0 * (alfa * forcing.surflx * cpi
@@ -206,6 +220,16 @@ def _mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
         crs = (ci * par.ce * bg2 * rlf * qag ** 3
                * jnp.sqrt(grid.scp2 / jnp.minimum(cori20 * cori20,
                                                   f2 + rtau * rtau)))
+
+    # pin the fusion boundary around the TKE-source coefficients: XLA's
+    # fusion (and with it FMA formation) for the big tke_terms DAG is
+    # block-shape-dependent, which broke the bitwise mesh-factorization
+    # invariance of the sharded step through the entrainment branch
+    # selection (measured: 1-ulp mtkers differences seeding O(1) dpu
+    # flips a step later).  The barrier makes the coefficient
+    # computation its own fusion with shape-independent codegen.
+    lui, lei, cus, cni, cbftot, cbfpsw, crs = jax.lax.optimization_barrier(
+        (lui, lei, cus, cni, cbftot, cbfpsw, crs))
 
     def tke_terms(pmxl, floor_pm=False):
         """(tkew_wind_part, lbi): the pmxl-dependent sources
@@ -421,16 +445,15 @@ def _mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
     dpfsl = jnp.maximum(pres[2] - pmxl_det, 0.)
     below2 = pmxl_det < pres[1]
     qf = 1. / jnp.maximum(dpfsl, epsilp)
-    tfsl = jnp.where(below2,
-                     (ttem[1] * delp[1]
-                      + ttem[0] * jnp.maximum(pres[1] - pmxl_det, 0.))
-                     * qf,
-                     ttem[1])
-    sfsl = jnp.where(below2,
-                     (ssal[1] * delp[1]
-                      + ssal[0] * jnp.maximum(pres[1] - pmxl_det, 0.))
-                     * qf,
-                     ssal[1])
+    # fma-contraction pins (see t2_ent note): product-into-sum chains
+    # whose contraction XLA:CPU decides per block shape
+    _tf1, _tf0, _sf1, _sf0 = jax.lax.optimization_barrier(
+        (ttem[1] * delp[1],
+         ttem[0] * jnp.maximum(pres[1] - pmxl_det, 0.),
+         ssal[1] * delp[1],
+         ssal[0] * jnp.maximum(pres[1] - pmxl_det, 0.)))
+    tfsl = jnp.where(below2, (_tf1 + _tf0) * qf, ttem[1])
+    sfsl = jnp.where(below2, (_sf1 + _sf0) * qf, ssal[1])
     sigfsl = eos.sig(e, tfsl, sfsl)
 
     # density class for the fossil water: deepest k in [2, kk-1] with
@@ -441,8 +464,10 @@ def _mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
     # --- shallow branch: absorb interior mass into the ML up to mltmin
     take_sh = jnp.clip(jnp.minimum(pmxl_sh[None], pres[1:]) - pres[:-1],
                        0., delp) * (kidx >= 2)
-    tdps_sh = ttem[1] * delp[1] + jnp.sum(ttem * take_sh, axis=0)
-    sdps_sh = ssal[1] * delp[1] + jnp.sum(ssal * take_sh, axis=0)
+    _td1, _sd1 = jax.lax.optimization_barrier(
+        (ttem[1] * delp[1], ssal[1] * delp[1]))
+    tdps_sh = _td1 + ksum(ttem * take_sh, axis=0)
+    sdps_sh = _sd1 + ksum(ssal * take_sh, axis=0)
 
     # --- assemble new columns per branch
     # detrain: ML = [dptopl, pmxl-dptopl]; interior gains fossil at kdet
@@ -453,8 +478,9 @@ def _mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
     wnew = jnp.where(gets,
                      dpfsl[None] / jnp.maximum(delp + dpfsl[None],
                                                epsilp), 0.)
-    ttem_det = ttem * (1. - wnew) + tfsl[None] * wnew
-    ssal_det = ssal * (1. - wnew) + sfsl[None] * wnew
+    ttem_det, ssal_det = jax.lax.optimization_barrier(
+        (ttem * (1. - wnew) + tfsl[None] * wnew,
+         ssal * (1. - wnew) + sfsl[None] * wnew))
     delp_det = delp + jnp.where(gets, dpfsl[None], 0.)
 
     # entrain/shallow: interior layers lose entrained mass
@@ -465,8 +491,14 @@ def _mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
     # ML content after entrainment: everything between the skin and pmxl
     ml_mass = jnp.maximum(delp[0] + jnp.maximum(pmxl - pres[1], 0.),
                           epsilp)
-    t2_ent = (tdps_e + ttem[0] * delp[0]) / ml_mass
-    s2_ent = (sdps_e + ssal[0] * delp[0]) / ml_mass
+    # barrier: forbid fma-contraction of the skin-layer product into
+    # the sum — XLA:CPU's contraction choice here varied with the
+    # shard_map block shape (measured 1-ulp t2_ent differences), which
+    # breaks the bitwise mesh-invariance contract
+    _tp0, _sp0 = jax.lax.optimization_barrier(
+        (ttem[0] * delp[0], ssal[0] * delp[0]))
+    t2_ent = (tdps_e + _tp0) / ml_mass
+    s2_ent = (sdps_e + _sp0) / ml_mass
 
     ent_like = entrain | shallow
     ttem_new = jnp.where(ent_like[None], ttem, ttem_det)
@@ -489,14 +521,16 @@ def _mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
     if ntrc:
         trc_new = trc_n
         trdps_sh = (trc_n[:, 1] * delp[1][None]
-                    + jnp.sum(trc_n * take_sh[None], axis=1))
+                    + ksum(trc_n * take_sh[None], axis=1))
         trdps_e = jnp.where(shallow[None],
                             trdps_sh, jnp.stack(trdps)) \
             if ntrc else None
-        trml = (trdps_e + trc_n[:, 0] * delp[0][None]) / ml_mass[None]
+        trml = (trdps_e + jax.lax.optimization_barrier(
+            trc_n[:, 0] * delp[0][None])) / ml_mass[None]
         trfsl = trc_n[:, 1]
         wnew_t = wnew[None]
-        trc_det = trc_n * (1. - wnew_t) + trfsl[:, None] * wnew_t
+        trc_det = jax.lax.optimization_barrier(
+            trc_n * (1. - wnew_t) + trfsl[:, None] * wnew_t)
         trc_new = jnp.where(ent_like[None, None], trc_n, trc_det)
         trc_new = trc_new.at[:, 0].set(
             jnp.where(ent_like[None], trml, trc_n[:, 0]))
@@ -515,20 +549,27 @@ def _mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
     psw_lo = psw_at(pres_new[2:])
     dsw = jnp.concatenate([jnp.zeros((1,) + H, dtype),
                            psw_up - psw_lo], axis=0)   # (kk, H)
-    heat_pen = dsw * forcing.sswflx[None] * dtg * cpi \
-        / jnp.maximum(delp_new, epsilp)
+    # The forcing corrections are barrier-pinned before they enter the
+    # temperature/salinity sums: XLA:CPU's fma-contraction choices for
+    # these product-into-sum chains vary with the shard_map block
+    # shape, breaking the bitwise mesh-invariance contract (measured
+    # 1-ulp ttem differences; same class as the t2_ent pin above).
+    heat_pen = jax.lax.optimization_barrier(
+        dsw * forcing.sswflx[None] * dtg * cpi
+        / jnp.maximum(delp_new, epsilp))
     ttem_new = ttem_new - jnp.where(delp_new > onemu, heat_pen, 0.)
     # top layer: total non-penetrating heat + salt
     pswtail = psw_at(pres_new[kk])
     q0 = dtg / jnp.maximum(delp_new[0], epsilp)
-    ttem_new = ttem_new.at[0].add(
-        -(forcing.surflx - (pswbas - pswtail) * forcing.sswflx
-          + forcing.surrlx) * q0 * cpi)
-    ssal_new = ssal_new.at[0].add(
-        -(forcing.salflx - forcing.brnflx + forcing.salrlx) * q0)
+    corr_t0, corr_s0, corr_s1 = jax.lax.optimization_barrier((
+        (forcing.surflx - (pswbas - pswtail) * forcing.sswflx
+         + forcing.surrlx) * q0 * cpi,
+        (forcing.salflx - forcing.brnflx + forcing.salrlx) * q0,
+        forcing.brnflx * dtg / jnp.maximum(delp_new[1], epsilp)))
+    ttem_new = ttem_new.at[0].add(-corr_t0)
+    ssal_new = ssal_new.at[0].add(-corr_s0)
     # brine flux into layer 2 (condensed brine plume)
-    ssal_new = ssal_new.at[1].add(
-        -forcing.brnflx * dtg / jnp.maximum(delp_new[1], epsilp))
+    ssal_new = ssal_new.at[1].add(-corr_s1)
 
     ssal_new = jnp.maximum(ssal_new, 0.)
     sigma_new = eos.sig(e, ttem_new, ssal_new) * ip
@@ -555,4 +596,18 @@ def _mxlayr(grid: Grid, e: eos.EosParams, s: State, forcing: Forcing,
         dp=s.dp.at[n].set(jnp.maximum(delp_new, 0.) * ip),
         sigma=s.sigma.at[n].set(sigma_new),
         kfpla=s.kfpla.at[n].set(kfpl_new))
+    if _TAP is not None:
+        _TAP.update(dict(
+            bg2=bg2, crs=crs, tkew0=tkew0,
+            pmxl_det=pmxl_det, pmxl_sh=pmxl_sh, pm_e=pm_e,
+            tdps=tdps, sdps=sdps, takes=takes, pmxl=pmxl,
+            dpe_fin=dpe_fin, dke_fin=dke_fin,
+            ttem_new=ttem_new, delp_new=delp_new,
+            tfsl=tfsl, take_sh=take_sh, tdps_sh=tdps_sh,
+            t2_ent=t2_ent, ml_t=ml_t, dsw=dsw, heat_pen=heat_pen,
+            pswbas=pswbas))
     return s if dfl is None else (s, dfl)
+
+
+#: debug tap (tests only): set to a dict to capture intermediates
+_TAP = None

@@ -339,17 +339,26 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
 
     `step_fn(s, dfl, m, n, delt1) -> (s, dfl)` overrides the plain
     blom_step — the sharded whole-step driver
-    (step_shmap.make_sharded_step) plugs in here; in-step budget/BGC
-    hooks are unsupported with an override."""
-    if step_fn is not None and (cnsvdi or with_bgcm):
+    (step_shmap.make_sharded_step) plugs in here.  In-step budget
+    hooks (cnsvdi) work with an override that advertises
+    `supports_budget` (the sharded step does); in-step BGC diagnostics
+    (with_bgcm) remain unsupported with an override."""
+    if step_fn is not None and with_bgcm:
         raise NotImplementedError(
-            'in-step budget/BGC hooks with a step_fn override')
+            'in-step BGC diagnostics with a step_fn override')
+    if step_fn is not None and cnsvdi \
+            and not getattr(step_fn, 'supports_budget', False):
+        raise NotImplementedError(
+            'in-step budget hooks need a budget-capable step_fn')
 
     def one(s, dfl_c, m, n, d):
         bout = [] if cnsvdi else None
         bgcd = [] if with_bgcm else None
         if step_fn is not None:
-            s, dfl_c = step_fn(s, dfl_c, m, n, d)
+            if cnsvdi:
+                s, dfl_c = step_fn(s, dfl_c, m, n, d, budget_out=bout)
+            else:
+                s, dfl_c = step_fn(s, dfl_c, m, n, d)
         else:
             s, dfl_c = blom_step(grid, e, par, coeffs_i, coeffs_j, s,
                                  forcing, dfl_c, m, n, d, swabs,

@@ -58,6 +58,10 @@ def main():
     itdm, jtdm, kdm = 384, 360, 53
     model = standalone.build_fuk95(dtype=dtype, itdm=itdm, jtdm=jtdm,
                                    kdm=kdm)
+    # match bench.py: EG lateral diffusivity + GM + isopycnal diffusion on
+    from blom_tpu.dynamics.difest import DifestParams
+    model.par = model.par._replace(
+        difest=DifestParams(egc=.85, egmndf=100.))
     grid, e, par = model.grid, model.e, model.par
     ci, cj = model.coeffs_i, model.coeffs_j
     forcing, dfl, swabs = model.forcing, model.dfl, model.swabs
@@ -97,7 +101,8 @@ def main():
     timeit("pbcor1+2", lambda s: pbcor2(grid, e, pbcor1(grid, s, m, n,
                                                         dlt), m, n, dlt),
            s0)
-    timeit("diffus", lambda s: diffus(grid, e, s, dfl, m, n, delt1), s0)
+    timeit("diffus", lambda s: diffus(grid, e, s, dfl, m, n, delt1)[0],
+           s0)
     timeit("pgforc", lambda s: pgforc(grid, e, s, m, n, par.pgfmth), s0)
     timeit("momtum", lambda s: momtum(grid, s, forcing, par.momtum,
                                       dfl.difwgt, m, n, delt1, dlt,
