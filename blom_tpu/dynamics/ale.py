@@ -85,6 +85,26 @@ def make_ale_params(kk: int, dpmin_surface_m: float = 1.5,
                      reconstruction_method=reconstruction_method)
 
 
+def _ale_pallas_ok(ale: AleParams, p_src) -> bool:
+    """Use the fused Pallas ALE kernels?  TPU + f32 + PPM explicit
+    edges + nudge regrid (the production configuration);
+    BLOM_TPU_PALLAS=0 disables."""
+    import os
+
+    import jax as _jax
+    if os.environ.get('BLOM_TPU_PALLAS', '1') == '0':
+        return False
+    if ale.reconstruction_method != 'ppm' \
+            or ale.regrid_method != 'nudge':
+        return False
+    if p_src.dtype != jnp.float32 or p_src.ndim != 3:
+        return False
+    try:
+        return _jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
+
 def _recon(ale: AleParams, p, tm, limiting, pc_upper=False,
            pc_lower=False):
     """Reconstruction dispatch (RECONSTRUCTION_METHOD,
@@ -131,21 +151,27 @@ def _sigma_at(p_src, sig_up, sig_lo, pq):
         return (got, found | inl), None
 
     init = (jnp.zeros(pq.shape, pq.dtype), jnp.zeros(pq.shape, bool))
-    (got, found), _ = lax.scan(body, init,
-                               (p_src[:-1], dp, dpi, sig_up, sig_lo),
-                               unroll=8)
+    got, found = h3.kscan(body, init,
+                          (p_src[:-1], dp, dpi, sig_up, sig_lo))
     # below the column: use the deepest lower-interface value
-    return jnp.where(found, got, sig_lo[-1])
+    # (static index: a[-1] lowers to dynamic_slice, which Mosaic
+    # rejects inside Pallas kernels)
+    import jax as _jax
+    bottom = _jax.lax.index_in_dim(sig_lo, sig_lo.shape[0] - 1, 0,
+                                   keepdims=False)
+    return jnp.where(found, got, bottom)
 
 
-def regrid_nudge(grid: Grid, e: eos.EosParams, ale: AleParams,
+def regrid_nudge(grid, e: eos.EosParams, ale: AleParams,
                  p_src, rc_t: h3.Recon, rc_s: h3.Recon, sigmar,
-                 delt1):
+                 delt1, plevel_arr=None, clamp_impl='scan'):
     """Nudge interface pressures toward interface target densities
     (regrid_cntiso_hybrid_nudge_jslice, mod_ale_regrid_remap.F90:560-916).
 
+    `grid` may be a Grid or a bare layer count (the column-local core
+    runs unchanged inside the Pallas regrid kernel, ale_pallas.py).
     Returns (p_dst, smooth_fac), both (kk+1, H)."""
-    kk = grid.kk
+    kk = grid if isinstance(grid, int) else grid.kk
     H = p_src.shape[1:]
     p_bot = p_src[kk]
 
@@ -164,7 +190,7 @@ def regrid_nudge(grid: Grid, e: eos.EosParams, ale: AleParams,
         [sig_trg[1:] - sig_trg[:-1], sig_trg[-1:] - sig_trg[-2:-1]], axis=0)
     dsig_trg = jnp.maximum(dsig_trg, 1e-12)
 
-    kidx = jnp.arange(kk).reshape((kk,) + (1,) * len(H))
+    kidx = h3._kidx(kk, 1 + len(H))
 
     # kdmx: deepest interface index whose target density is lighter than
     # the densest reconstructed water (0-based layer index semantics:
@@ -174,7 +200,10 @@ def regrid_nudge(grid: Grid, e: eos.EosParams, ale: AleParams,
     kdmx = jnp.maximum(1, jnp.sum((sig_trg < sig_max).astype(jnp.int32),
                                   axis=0))              # (H) 1-based
 
-    plevel = jnp.asarray(ale.plevel, p_src.dtype)
+    # plevel_arr: the Pallas kernel passes the minimum-depth table as a
+    # kernel input (captured constant arrays are rejected there)
+    plevel = (jnp.asarray(ale.plevel, p_src.dtype)
+              if plevel_arr is None else plevel_arr.astype(p_src.dtype))
     pmin = jnp.minimum(plevel.reshape((kk,) + (1,) * len(H)) + p_src[0],
                        p_bot)                           # (kk, H), 1-based k
 
@@ -188,8 +217,10 @@ def regrid_nudge(grid: Grid, e: eos.EosParams, ale: AleParams,
     kb = ale.k_range_plevel
     cond = (kidx + 1 > kb) & (kidx + 1 <= kdmx) & (sig_trg > sig_pmin)
     any_cond = jnp.any(cond, axis=0)
+    # f32 argmax: Mosaic's in-kernel argmax supports float32 only;
+    # argmax of the 0/1 floats picks the same (first-True) index
     kt = jnp.where(any_cond,
-                   jnp.argmax(cond, axis=0) + 1,        # 1-based
+                   jnp.argmax(cond.astype(jnp.float32), axis=0) + 1,
                    kdmx + 1)
 
     # --- candidate positions for interfaces k = 2..kk (1-based).
@@ -264,13 +295,43 @@ def regrid_nudge(grid: Grid, e: eos.EosParams, ale: AleParams,
 
     # monotonic clamp with minimum interior thickness
     # (the reference's per-case clamp + dpmin enforcement)
-    def clamp_scan(prev, xs):
-        c, pmn = xs
-        out = jnp.minimum(jnp.maximum(jnp.maximum(c, pmn),
-                                      prev + ale.dpmin_interior), p_bot)
-        return out, out
+    if clamp_impl == 'cummax':
+        # scan-free equivalent for the Pallas kernel (Mosaic cannot
+        # lower scans with stacked outputs): with the substitution
+        # t_k = out_k - (k+1)*dpmin the recurrence
+        #   out_k = min(max(max(c_k, pmn_k), out_{k-1}+dpmin), p_bot)
+        # becomes a seeded running max under a k-DECREASING bound,
+        # i.e. exactly  out_k = min(p_bot, cummax(a_k-(k+1)d) + (k+1)d)
+        # (max is associative-exact; the +-(k+1)d detour costs ~1 ULP
+        # vs the scan, which is why the jnp path keeps the scan)
+        d = ale.dpmin_interior
+        nmid = kk - 1                 # interior interfaces 2..kk
+        # integer broadcasted_iota then cast (Mosaic: iota is
+        # integer-only and arange().reshape() is an unsupported
+        # lane->sublane shape cast)
+        import jax as _jax
+        kseq = (_jax.lax.broadcasted_iota(
+            jnp.int32, (nmid,) + (1,) * len(H), 0) + 1
+        ).astype(p_src.dtype)
+        atil = jnp.maximum(cand, pmin[1:]) - kseq * d
+        atil = jnp.maximum(atil, p_src[:1])       # seed: prev_0 = p_top
+        run = atil
+        shift = 1
+        while shift < nmid:
+            pad = jnp.full_like(run[:shift], -jnp.inf)
+            run = jnp.maximum(run, jnp.concatenate(
+                [pad, run[:-shift]], axis=0))
+            shift *= 2
+        p_mid = jnp.minimum(run + kseq * d, p_bot)
+    else:
+        def clamp_scan(prev, xs):
+            c, pmn = xs
+            out = jnp.minimum(jnp.maximum(jnp.maximum(c, pmn),
+                                          prev + ale.dpmin_interior),
+                              p_bot)
+            return out, out
 
-    _, p_mid = lax.scan(clamp_scan, p_src[0], (cand, pmin[1:]))
+        _, p_mid = lax.scan(clamp_scan, p_src[0], (cand, pmin[1:]))
     p_dst = jnp.concatenate([p_src[:1], p_mid, p_bot[None]], axis=0)
     smooth_fac = jnp.concatenate(
         [jnp.ones_like(sfac[:1]), sfac, jnp.zeros_like(sfac[:1])], axis=0)
@@ -429,22 +490,37 @@ def ale_regrid_remap(grid: Grid, e: eos.EosParams, ale: AleParams,
     p_src = cumulative_p(s.dp[n]) * ip
     p_bot = p_src[kk]
 
-    # 1. reconstruct tracers (T, S and passive tracers share p_src, so
-    # the grid-only edge stencil weights are computed once)
     ntr = s.trc.shape[1]
-    rcs_p = _recon_multi(
-        ale, p_src,
-        [s.temp[n], s.saln[n]] + [s.trc[n, nt] for nt in range(ntr)],
-        ale.tracer_limiting, pc_upper=ale.tracer_pc_upper)
-    rc_t, rc_s = rcs_p[0], rcs_p[1]
+    # fused Pallas path for the column-local halves (TPU/f32, PPM
+    # reconstruction + nudge regrid — the production configuration);
+    # the jnp path below is the CPU/f64 reference implementation
+    use_pallas = _ale_pallas_ok(ale, p_src)
 
-    # 2. regrid (REGRID_METHOD dispatch, mod_ale_regrid_remap.F90:68)
+    # 1.+2. reconstruct T/S and regrid
+    # (REGRID_METHOD dispatch, mod_ale_regrid_remap.F90:68)
+    rcs_p = None
     if ale.regrid_method == 'direct':
         p_dst, smooth_fac = regrid_direct(grid, e, ale, p_src,
                                           s.sigma[n], s.sigmar)
+    elif use_pallas:
+        from .ale_pallas import regrid_call
+        p_dst, smooth_fac = regrid_call(e, ale, p_src, s.temp[n],
+                                        s.saln[n], s.sigmar, delt1)
     else:
-        p_dst, smooth_fac = regrid_nudge(grid, e, ale, p_src, rc_t,
-                                         rc_s, s.sigmar, delt1)
+        rcs_p = _recon_multi(
+            ale, p_src,
+            [s.temp[n], s.saln[n]] + [s.trc[n, nt] for nt in range(ntr)],
+            ale.tracer_limiting, pc_upper=ale.tracer_pc_upper)
+        p_dst, smooth_fac = regrid_nudge(grid, e, ale, p_src, rcs_p[0],
+                                         rcs_p[1], s.sigmar, delt1)
+
+    if rcs_p is None and not use_pallas:
+        # 'direct' regrid path: reconstructions are still needed for
+        # the remap below
+        rcs_p = _recon_multi(
+            ale, p_src,
+            [s.temp[n], s.saln[n]] + [s.trc[n, nt] for nt in range(ntr)],
+            ale.tracer_limiting, pc_upper=ale.tracer_pc_upper)
 
     # 3. lateral smoothing
     if ale.smooth_diff_max > 0.:
@@ -467,20 +543,28 @@ def ale_regrid_remap(grid: Grid, e: eos.EosParams, ale: AleParams,
     # rescale old velocity-point interfaces to the new column range
     qu = jnp.minimum(im1(p_bot), p_bot) \
         / jnp.maximum(pu_old[kk], epsilp)
-    rc_u = _recon(ale, pu_old * qu, s.u[n], ale.velocity_limiting,
-                  pc_upper=ale.velocity_pc_upper)
     qv = jnp.minimum(jm1(p_bot), p_bot) \
         / jnp.maximum(pv_old[kk], epsilp)
-    rc_v = _recon(ale, pv_old * qv, s.v[n], ale.velocity_limiting,
-                  pc_upper=ale.velocity_pc_upper)
 
     # bottom_only_empties: the regrid's dpmin_interior clamp guarantees
     # interior destination layers are non-vanishing, which drops the
     # per-edge point/found carries from the remap scan (its dominant
     # cost at production size)
-    (means_p, (u_mean,), (v_mean,)) = h3.remap_groups(
-        [(rcs_p, p_dst), ([rc_u], pu_new), ([rc_v], pv_new)],
-        bottom_only_empties=True)
+    if use_pallas:
+        from .ale_pallas import remap_call
+        means_p, u_mean, v_mean = remap_call(
+            ale, p_src,
+            [s.temp[n], s.saln[n]] + [s.trc[n, nt] for nt in range(ntr)],
+            pu_old * qu, s.u[n], pv_old * qv, s.v[n],
+            p_dst, pu_new, pv_new)
+    else:
+        rc_u = _recon(ale, pu_old * qu, s.u[n], ale.velocity_limiting,
+                      pc_upper=ale.velocity_pc_upper)
+        rc_v = _recon(ale, pv_old * qv, s.v[n], ale.velocity_limiting,
+                      pc_upper=ale.velocity_pc_upper)
+        (means_p, (u_mean,), (v_mean,)) = h3.remap_groups(
+            [(rcs_p, p_dst), ([rc_u], pu_new), ([rc_v], pv_new)],
+            bottom_only_empties=True)
 
     temp_new = means_p[0] * ip
     saln_new = means_p[1] * ip

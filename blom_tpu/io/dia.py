@@ -503,6 +503,12 @@ def _zlv(extract):
     return fn
 
 
+# previous-leapfrog-level accumulated mass fluxes (ACC_UFLXOLD/
+# VFLXOLD, mod_dia.F90:618 — they back the LVL_WFLX vertical-flux
+# computation from the OLD fluxes; exposed as ids of their own here)
+FIELD_REGISTRY['uflxold'] = ('3d', lambda c, n: c.s.uflx[1 - n])
+FIELD_REGISTRY['vflxold'] = ('3d', lambda c, n: c.s.vflx[1 - n])
+
 # z-level twins of the layer fields (LVL_* ids)
 for _name in ('temp', 'saln', 'uvel', 'vvel', 'uflx', 'vflx', 'utflx',
               'vtflx', 'usflx', 'vsflx', 'bfsq', 'difint', 'difiso',
@@ -511,14 +517,198 @@ for _name in ('temp', 'saln', 'uvel', 'vvel', 'uflx', 'vflx', 'utflx',
               'idlage', 'wflx', 'wflx2',
               'utfltd', 'usfltd', 'vtfltd', 'vsfltd',
               'utflsm', 'usflsm', 'vtflsm', 'vsflsm',
-              'utflld', 'usflld', 'vtflld', 'vsflld'):
+              'utflld', 'usflld', 'vtflld', 'vsflld',
+              'uflxold', 'vflxold'):
     _dims, _fn = FIELD_REGISTRY[_name]
     FIELD_REGISTRY[_name + 'lvl'] = ('zlv', _zlv(_fn))
 del _name, _dims, _fn
 
+def _trclvl(c, n):
+    """LVL_TRC (mod_dia.F90:226): z-level twins of the full passive-
+    tracer stack, written per tracer as trcNN in the reference's
+    diaout."""
+    from ..core.state import cumulative_p
+    from .merdia import DEPTHSLEV, to_zlev
+    ntr = c.s.trc.shape[1]
+    if not ntr:
+        return jnp.zeros((0, len(DEPTHSLEV)) + c.g.shape, c.s.pb.dtype)
+    p_i = cumulative_p(c.s.dp[n])
+    return jnp.stack([to_zlev(c.s.trc[n, i], p_i) for i in range(ntr)])
+
+
+FIELD_REGISTRY['trclvl'] = ('trzlv', _trclvl)
+
+
+# --- remaining H2D ids (round 5): auxiliary bulk-forcing fields,
+# brine plume depth, GLS aliases and the reference's utility
+# placeholder arrays ------------------------------------------------
+
+def _aux(name):
+    """ben02/NIW auxiliary field (H2D_DFL/HMAT/IDKEDT): read from the
+    coupled-forcing dict (ben02 publishes its aux fields there) or the
+    sea-ice slab when present; zeros otherwise (the reference gates
+    these on allocated(...), mod_dia.F90:1628)."""
+    def fn(c, n):
+        if c.cesm and name in c.cesm:
+            return c.cesm[name]
+        v = getattr(c.si, name, None) if c.si is not None else None
+        if v is not None:
+            return v
+        return jnp.zeros(c.g.shape, c.s.pb.dtype)
+    return fn
+
+
+def _brnpd(c, n):
+    """Brine plume pressure depth (ACC_BRNPD; pbrnda of
+    mod_mxlayr.F90:97,557): the bulk-ML scheme condenses the brine
+    plume into layer 2, so the plume bottom is that layer's lower
+    interface; zero where there is no brine flux."""
+    p2 = (c.s.p[2] - c.s.p[0]) * c.g.ip
+    if c.frc is None:
+        return jnp.zeros_like(p2)
+    return jnp.where(c.frc.brnflx > 0., p2, 0.)
+
+
+def _zeros2d(c, n):
+    return jnp.zeros(c.g.shape, c.s.pb.dtype)
+
+
+def _zeros3d(c, n):
+    return jnp.zeros_like(c.s.dp[n])
+
+
+def _zeroszlv(c, n):
+    from .merdia import DEPTHSLEV
+    return jnp.zeros((len(DEPTHSLEV),) + c.g.shape, c.s.pb.dtype)
+
+
+FIELD_REGISTRY.update({
+    'dfl': ('2d', _aux('dfl')),          # d(nsf)/dT [W m-2 K-1]
+    'hmat': ('2d', _aux('hmat')),        # material enthalpy flux
+    'idkedt': ('2d', _aux('idkedt')),    # NIW KE tendency (phys/niw)
+    'brnpd': ('2d', _brnpd),
+    'gls_psi': FIELD_REGISTRY['gls'],    # ACC_GLS_PSI naming alias
+    'gls_psilvl': FIELD_REGISTRY['glslvl'],
+    # the reference's scratch output slots (util1-4 passthroughs)
+    'utilh2d': ('2d', _zeros2d),
+    'utillyr': ('3d', _zeros3d),
+    'utillvl': ('zlv', _zeroszlv),
+})
+
+# ------------------------------------------------------------------ #
+# MSC_* derived diagnostics (diamer global/meridional ids,
+# mod_dia.F90:233-238, 4150-4340): computed at OUTPUT time from the
+# group's accumulated means.  Each entry lists the accumulated base
+# ids it consumes; init_group auto-accumulates missing deps.
+# ------------------------------------------------------------------ #
+
+_CP_SW = 3990.        # seawater heat capacity used by the heat ids
+_GRAV = 9.806
+
+
+def _msc_osf_layer(dep):
+    def fn(means, grid, wlat):
+        from .merdia import overturning_streamfunction
+        return overturning_streamfunction(means[dep], wlat,
+                                          scale=1. / _GRAV)
+    return fn
+
+
+def _msc_osf_depth(dep):
+    def fn(means, grid, wlat):
+        t = jnp.einsum('lji,dji->ld', wlat, means[dep]) / _GRAV
+        zero = jnp.zeros_like(t[:, :1])
+        return jnp.concatenate([zero, jnp.cumsum(t, axis=1)], axis=1)
+    return fn
+
+
+def _msc_mer(dep, scale):
+    def fn(means, grid, wlat):
+        from .merdia import meridional_transport
+        return meridional_transport(means[dep], wlat, scale=scale)
+    return fn
+
+
+def _msc_mer_sum(deps, scale):
+    def fn(means, grid, wlat):
+        from .merdia import meridional_transport
+        out = meridional_transport(means[deps[0]], wlat, scale=scale)
+        for d in deps[1:]:
+            out = out + meridional_transport(means[d], wlat,
+                                             scale=scale)
+        return out
+    return fn
+
+
+def _msc_massgs(means, grid, wlat):
+    w = grid.scp2 * grid.ip
+    return jnp.sum(jnp.sum(means['dp'], axis=0) * w) / _GRAV
+
+
+def _msc_volgs(means, grid, wlat):
+    from ..core.constants import alpha0
+    return _msc_massgs(means, grid, wlat) * alpha0
+
+
+def _msc_colga(dep):
+    def fn(means, grid, wlat):
+        w = grid.scp2 * grid.ip
+        num = jnp.sum(jnp.sum(means[dep] * means['dp'], axis=0) * w)
+        den = jnp.maximum(jnp.sum(jnp.sum(means['dp'], axis=0) * w),
+                          1e-30)
+        return num / den
+    return fn
+
+
+def _msc_srfga(dep):
+    def fn(means, grid, wlat):
+        w = grid.scp2 * grid.ip
+        return jnp.sum(means[dep] * w) / jnp.maximum(jnp.sum(w), 1e-30)
+    return fn
+
+
+#: name -> (deps, dims tag, derive(means, grid, wlat))
+MSC_REGISTRY: Dict[str, tuple] = {
+    # overturning streamfunctions: layer space and depth space, for
+    # the resolved, eddy-induced (TD) and submesoscale transports
+    'mmflxl': (('vflx',), 'latsig1', _msc_osf_layer('vflx')),
+    'mmftdl': (('vmfltd',), 'latsig1', _msc_osf_layer('vmfltd')),
+    'mmfsml': (('vmflsm',), 'latsig1', _msc_osf_layer('vmflsm')),
+    'mmflxd': (('vflxlvl',), 'latdep1', _msc_osf_depth('vflxlvl')),
+    'mmftdd': (('vmfltdlvl',), 'latdep1', _msc_osf_depth('vmfltdlvl')),
+    'mmfsmd': (('vmflsmlvl',), 'latdep1', _msc_osf_depth('vmflsmlvl')),
+    # vertically integrated meridional heat/salt transports per
+    # component (resolved / TD / submeso / lateral-diffusive)
+    'mhflx': (('vtflx',), 'lat', _msc_mer('vtflx', _CP_SW / _GRAV)),
+    'mhftd': (('vtfltd',), 'lat', _msc_mer('vtfltd', _CP_SW / _GRAV)),
+    'mhfsm': (('vtflsm',), 'lat', _msc_mer('vtflsm', _CP_SW / _GRAV)),
+    'mhfld': (('vtflld',), 'lat', _msc_mer('vtflld', _CP_SW / _GRAV)),
+    'msflx': (('vsflx',), 'lat', _msc_mer('vsflx', 1e-3 / _GRAV)),
+    'msftd': (('vsfltd',), 'lat', _msc_mer('vsfltd', 1e-3 / _GRAV)),
+    'msfsm': (('vsflsm',), 'lat', _msc_mer('vsflsm', 1e-3 / _GRAV)),
+    'msfld': (('vsflld',), 'lat', _msc_mer('vsflld', 1e-3 / _GRAV)),
+    # total transports across latitude circles (the reference's
+    # zigzag-section masstr/heattr/salttr)
+    'masstr': (('vflx',), 'lat', _msc_mer('vflx', 1. / _GRAV)),
+    'heattr': (('vtflx', 'vtfltd', 'vtflsm', 'vtflld'), 'lat',
+               _msc_mer_sum(('vtflx', 'vtfltd', 'vtflsm', 'vtflld'),
+                            _CP_SW / _GRAV)),
+    'salttr': (('vsflx', 'vsfltd', 'vsflsm', 'vsflld'), 'lat',
+               _msc_mer_sum(('vsflx', 'vsfltd', 'vsflsm', 'vsflld'),
+                            1e-3 / _GRAV)),
+    # global sums / averages
+    'massgs': (('dp',), 'scalar', _msc_massgs),
+    'volgs': (('dp',), 'scalar', _msc_volgs),
+    'tempga': (('temp', 'dp'), 'scalar', _msc_colga('temp')),
+    'salnga': (('saln', 'dp'), 'scalar', _msc_colga('saln')),
+    'sstga': (('sst',), 'scalar', _msc_srfga('sst')),
+    'sssga': (('sss',), 'scalar', _msc_srfga('sss')),
+}
+
+
 #: per-field accumulation operators (the ave/min/max/sq encoding of
-#: mod_dia.F90's ACC_* tables)
-VALID_OPS = ('ave', 'min', 'max', 'sq')
+#: mod_dia.F90's ACC_* tables; 'msc' marks an output-time derived id)
+VALID_OPS = ('ave', 'min', 'max', 'sq', 'msc')
 
 
 @jax.tree_util.register_dataclass
@@ -529,6 +719,15 @@ class DiaGroup:
     acc: dict                            # name -> running sum
     # static metadata
     fields: tuple = dataclasses.field(metadata=dict(static=True))
+
+
+
+def _acc_key(name: str, op: str) -> str:
+    """Accumulator/output key: the reference's derived-id naming for
+    non-average ops (MLDL82MN/MX/SQ etc.), so one group can request
+    several ops of the same field."""
+    return name + {'min': 'mn', 'max': 'mx', 'sq': 'sq'}.get(op, '') \
+        if op in ('min', 'max', 'sq') else name
 
 
 def _norm_fields(fields):
@@ -548,17 +747,32 @@ def init_group(grid: Grid, state: State, fields, dtype=jnp.float64,
                forcing=None, dfl=None, si=None, swabs=None, tridx=None,
                cesm=None):
     fields = _norm_fields(fields)
+    # MSC ids are derived at output time from accumulated base fields;
+    # auto-accumulate any base id the requested MSC entries need
+    have = {n for n, op in fields if op != 'msc'}
+    extra = []
+    for name, op in fields:
+        if op != 'msc':
+            continue
+        for dep in MSC_REGISTRY[name][0]:
+            if dep not in have:
+                have.add(dep)
+                extra.append((dep, 'ave'))
+    fields = fields + tuple(extra)
     c = DiaCtx(grid, state, forcing, dfl, si, swabs, tridx, cesm)
     acc = {}
     for name, op in fields:
+        if op == 'msc':
+            continue
         dims, fn = FIELD_REGISTRY[name]
         proto = fn(c, 0)
+        key = _acc_key(name, op)
         if op == 'min':
-            acc[name] = jnp.full_like(proto, jnp.inf)
+            acc[key] = jnp.full_like(proto, jnp.inf)
         elif op == 'max':
-            acc[name] = jnp.full_like(proto, -jnp.inf)
+            acc[key] = jnp.full_like(proto, -jnp.inf)
         else:
-            acc[name] = jnp.zeros_like(proto)
+            acc[key] = jnp.zeros_like(proto)
     return DiaGroup(nacc=jnp.zeros((), dtype), acc=acc, fields=fields)
 
 
@@ -570,29 +784,35 @@ def accumulate(grid: Grid, group: DiaGroup, s: State, n: int,
     c = DiaCtx(grid, s, forcing, dfl, si, swabs, tridx, cesm)
     acc = dict(group.acc)
     for name, op in group.fields:
+        if op == 'msc':
+            continue
         dims, fn = FIELD_REGISTRY[name]
         v = fn(c, n)
+        key = _acc_key(name, op)
         if op == 'ave':
-            acc[name] = acc[name] + v
+            acc[key] = acc[key] + v
         elif op == 'sq':
-            acc[name] = acc[name] + v * v
+            acc[key] = acc[key] + v * v
         elif op == 'min':
-            acc[name] = jnp.minimum(acc[name], v)
+            acc[key] = jnp.minimum(acc[key], v)
         else:
-            acc[name] = jnp.maximum(acc[name], v)
+            acc[key] = jnp.maximum(acc[key], v)
     return DiaGroup(nacc=group.nacc + 1., acc=acc, fields=group.fields)
 
 
 def reset(group: DiaGroup) -> DiaGroup:
     acc = {}
     for name, op in group.fields:
-        v = group.acc[name]
+        if op == 'msc':
+            continue
+        v = group.acc[_acc_key(name, op)]
+        key = _acc_key(name, op)
         if op == 'min':
-            acc[name] = jnp.full_like(v, jnp.inf)
+            acc[key] = jnp.full_like(v, jnp.inf)
         elif op == 'max':
-            acc[name] = jnp.full_like(v, -jnp.inf)
+            acc[key] = jnp.full_like(v, -jnp.inf)
         else:
-            acc[name] = jnp.zeros_like(v)
+            acc[key] = jnp.zeros_like(v)
     return DiaGroup(nacc=jnp.zeros_like(group.nacc), acc=acc,
                     fields=group.fields)
 
@@ -666,6 +886,8 @@ def _nml_key_to_field(key: str) -> Optional[Tuple[str, str]]:
         name = name[:-2]
     if kind == 'lvl':
         name = name + 'lvl'
+    if kind == 'msc':
+        return (name, 'msc') if name in MSC_REGISTRY else None
     if name not in FIELD_REGISTRY:
         return None
     return name, op
@@ -769,7 +991,10 @@ def write_netcdf(path: str, grid: Grid, group: DiaGroup, time_days: float,
 
         ntr_made = False
         for name, op in _norm_fields(group.fields):
+            if op == 'msc':
+                continue
             dims, _ = FIELD_REGISTRY[name]
+            name = _acc_key(name, op)
             mean = np.asarray(group.acc[name])
             if op in ('ave', 'sq'):
                 mean = mean * q
@@ -789,6 +1014,14 @@ def write_netcdf(path: str, grid: Grid, group: DiaGroup, time_days: float,
                     ntr_made = True
                 shape = ('time', 'ntr', 'sigma', 'y', 'x')
                 mask = ipm[None, None]
+            elif dims == 'trzlv':
+                if mean.shape[0] == 0:
+                    continue
+                if not ntr_made:
+                    f.createDimension('ntr', mean.shape[0])
+                    ntr_made = True
+                shape = ('time', 'ntr', 'depth', 'y', 'x')
+                mask = ipm[None, None]
             else:
                 shape = ('time', 'sigma', 'y', 'x')
                 mask = ipm[None]
@@ -799,43 +1032,56 @@ def write_netcdf(path: str, grid: Grid, group: DiaGroup, time_days: float,
             v[0] = out
             v._FillValue = np.float32(-1e33)
 
-        # ---- MERDIA (MER_MMFLXL/MER_MHFLX/MER_MSFLX ids,
-        # mod_dia.F90:4150-4340): overturning streamfunction and
-        # vertically integrated meridional heat/salt transports,
-        # computed from the accumulated fluxes at output time over
-        # 1-degree latitude bins.
+        # ---- MSC_* derived diagnostics (diamer,
+        # mod_dia.F90:4150-4340): overturning streamfunctions,
+        # meridional transports and global means, computed from the
+        # accumulated means at output time over 1-degree latitude
+        # bins.  Requested via MSC_* ids; a legacy default emits the
+        # mmflxl/mhflx/msflx trio whenever vflx was accumulated.
         names = {n for n, _ in _norm_fields(group.fields)}
-        if 'vflx' in names and grid.plat is not None:
-            from .merdia import (lat_bin_weights,
-                                 overturning_streamfunction,
-                                 meridional_transport)
+        msc = [n for n, op in _norm_fields(group.fields) if op == 'msc']
+        if not msc and 'vflx' in names:
+            msc = [n for n in ('mmflxl', 'mhflx', 'msflx')
+                   if all(d in names for d in MSC_REGISTRY[n][0])]
+        if msc and grid.plat is not None:
+            from .merdia import lat_bin_weights
             import jax.numpy as jnp
             lats = np.arange(-89.5, 90., 1.)
             wlat = lat_bin_weights(jnp.asarray(np.asarray(grid.plat)),
                                    jnp.asarray(lats))
-            f.createDimension('lat', len(lats))
-            f.createDimension('sigma1', grid.kk + 1)
-            lv = f.createVariable('lat', 'd', ('lat',))
-            lv[:] = lats
-            lv.units = 'degrees_north'
+            means = {n: jnp.asarray(np.asarray(group.acc[n]) * q)
+                     for n in group.acc}
+            dimmed = set()
 
-            vm = np.asarray(group.acc['vflx']) * q
-            mosf = np.asarray(overturning_streamfunction(
-                jnp.asarray(vm), wlat, scale=1. / 9.806))
-            v = f.createVariable('mmflxl', 'f', ('time', 'lat',
-                                                 'sigma1'))
-            v[0] = mosf.astype('f4')
-            v.units = 'kg s-1'
-            for fld, out_name, scale in (
-                    ('vtflx', 'mhflx', 3990. / 9.806),
-                    ('vsflx', 'msflx', 1.e-3 / 9.806)):
-                if fld in names:
-                    tr = np.asarray(meridional_transport(
-                        jnp.asarray(np.asarray(group.acc[fld]) * q),
-                        wlat, scale=scale))
-                    v = f.createVariable(out_name, 'f',
-                                         ('time', 'lat'))
-                    v[0] = tr.astype('f4')
+            def need(dim, size):
+                if dim not in dimmed:
+                    f.createDimension(dim, size)
+                    dimmed.add(dim)
+                    if dim == 'lat':
+                        lv = f.createVariable('lat', 'd', ('lat',))
+                        lv[:] = lats
+                        lv.units = 'degrees_north'
+
+            from .merdia import DEPTHSLEV
+            for n in msc:
+                deps, tag, derive = MSC_REGISTRY[n]
+                out = np.asarray(derive(means, grid, wlat))
+                if tag == 'scalar':
+                    v = f.createVariable(n, 'd', ('time',))
+                    v[0] = out
+                    continue
+                need('lat', len(lats))
+                if tag == 'latsig1':
+                    need('sigma1', grid.kk + 1)
+                    v = f.createVariable(n, 'f', ('time', 'lat',
+                                                  'sigma1'))
+                elif tag == 'latdep1':
+                    need('depth1', len(DEPTHSLEV) + 1)
+                    v = f.createVariable(n, 'f', ('time', 'lat',
+                                                  'depth1'))
+                else:
+                    v = f.createVariable(n, 'f', ('time', 'lat'))
+                v[0] = out.astype('f4')
 
 
 def write_netcdf_compressed(path: str, grid: Grid, group: DiaGroup,
@@ -867,7 +1113,13 @@ def write_netcdf_compressed(path: str, grid: Grid, group: DiaGroup,
         pvar.compress = 'y x'
 
         for name, op in _norm_fields(group.fields):
+            if op == 'msc':
+                # derived meridional/global diagnostics are emitted by
+                # the uncompressed writer only (they are not point
+                # fields)
+                continue
             dims, _ = FIELD_REGISTRY[name]
+            name = _acc_key(name, op)
             mean = np.asarray(group.acc[name])
             if op in ('ave', 'sq'):
                 mean = mean * q
@@ -877,6 +1129,16 @@ def write_netcdf_compressed(path: str, grid: Grid, group: DiaGroup,
             elif dims == '2d':
                 v = f.createVariable(name, 'f', ('time', 'pcomp'))
                 v[0] = mean.ravel()[idx].astype('f4')
+            elif dims == 'trzlv':
+                if mean.shape[0] == 0:
+                    continue
+                flat = mean.reshape(mean.shape[0] * mean.shape[1],
+                                    -1)[:, idx]
+                if 'ntrdep' not in f.dimensions:
+                    f.createDimension('ntrdep', flat.shape[0])
+                v = f.createVariable(name, 'f', ('time', 'ntrdep',
+                                                 'pcomp'))
+                v[0] = flat.astype('f4')
             elif dims == 'tr3d':
                 flat = mean.reshape(mean.shape[0] * mean.shape[1], -1)[:, idx]
                 if 'ntrsig' not in f.dimensions:
@@ -912,8 +1174,11 @@ def write_netcdf_sharded(dirpath: str, grid: Grid, group: DiaGroup,
              'shards': []}
     shard_blocks = {}
     for name, op in group.fields:
+        if op == 'msc':
+            continue        # derived at reassembly/uncompressed output
+        name = _acc_key(name, op)
         acc = group.acc[name]
-        mean = acc * q if op == 'ave' else acc
+        mean = acc * q if op in ('ave', 'sq') else acc
         index['fields'][name] = {'op': op,
                                  'shape': list(np.shape(mean))}
         shards = getattr(mean, 'addressable_shards', None)

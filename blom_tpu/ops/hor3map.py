@@ -35,6 +35,45 @@ NON_OSCILLATORY = 'non_oscillatory'
 NON_OSCILLATORY_POSDEF = 'non_oscillatory_posdef'
 
 
+_STATIC_LOOPS = False
+
+
+class static_loops:
+    """Trace-time switch: run kscan loops as statically unrolled
+    Python loops instead of lax.scan.  Mosaic (Pallas TPU) cannot
+    lower scans with extensive inputs/outputs inside kernels; the ALE
+    kernels (dynamics/ale_pallas.py) enable this around their bodies.
+    The per-iteration op order is identical."""
+
+    def __enter__(self):
+        global _STATIC_LOOPS
+        self.old = _STATIC_LOOPS
+        _STATIC_LOOPS = True
+
+    def __exit__(self, *exc):
+        global _STATIC_LOOPS
+        _STATIC_LOOPS = self.old
+
+
+def kscan(body, init, xs, unroll=8):
+    """Final carry of scanning `body` over the leading axis of `xs`
+    (see static_loops)."""
+    import jax as _jax
+    if not _STATIC_LOOPS:
+        final, _ = _jax.lax.scan(body, init, xs, unroll=unroll)
+        return final
+    length = _jax.tree_util.tree_leaves(xs)[0].shape[0]
+    carry = init
+    for k in range(length):
+        # static slicing (lax.index_in_dim): a[k] would lower to
+        # dynamic_slice, which Mosaic cannot lower inside kernels
+        xk = _jax.tree_util.tree_map(
+            lambda a: _jax.lax.index_in_dim(a, k, 0, keepdims=False),
+            xs)
+        carry, _ = body(carry, xk)
+    return carry
+
+
 def _shift_clamped(a, off, n_out, hi):
     """a[clip(arange(n_out) + off, 0, hi)] expressed as static
     slices + concats along axis 0.  Equivalent to an integer-array
@@ -205,7 +244,12 @@ def _edge4(dx, tm, weights=None):
 
 
 def _kidx(kk, ndim):
-    return jnp.arange(kk).reshape((kk,) + (1,) * (ndim - 1))
+    # broadcasted_iota generates directly in the target shape —
+    # arange().reshape() needs a lane->sublane shape cast Mosaic
+    # cannot infer inside Pallas kernels
+    import jax as _jax
+    return _jax.lax.broadcasted_iota(jnp.int32,
+                                     (kk,) + (1,) * (ndim - 1), 0)
 
 
 def _slope_clamp(tm, tel, ter, dx, apply_mask):
@@ -520,15 +564,18 @@ def remap_groups(groups, bottom_only_empties: bool = False):
             return tuple(new_carry), None
 
         init = tuple(init_group(g) for g in range(len(prep)))
-        final, _ = jax.lax.scan(body, init, xs, unroll=8)
+        final = kscan(body, init, xs)
 
         out = []
         for g, accs in enumerate(final):
             p, dx, coeffs, p_dst = prep[g]
-            # deepest wet source layer (dx > heps) per column
+            # deepest wet source layer (dx > heps) per column, as a
+            # rev-free one-hot (Mosaic cannot lower `rev` in kernels):
+            # the deepest wet k is the max of the wet-masked k-index
             wet = dx > heps
-            below = jnp.cumsum(wet[::-1], axis=0)[::-1]
-            deepest = wet & (below == 1)
+            kidx = _kidx(wet.shape[0], wet.ndim)
+            kbot = jnp.max(jnp.where(wet, kidx, -1), axis=0)
+            deepest = wet & (kidx == kbot[None])
             dpd = p_dst[1:] - p_dst[:-1]
             dpdi = 1.0 / jnp.maximum(dpd, heps)
             means_g = []
@@ -576,7 +623,7 @@ def remap_groups(groups, bottom_only_empties: bool = False):
         return tuple(new_carry), None
 
     init = tuple(init_group(g) for g in range(len(prep)))
-    final, _ = jax.lax.scan(body, init, xs, unroll=8)
+    final = kscan(body, init, xs)
 
     out = []
     for g, (accs, points, found) in enumerate(final):

@@ -238,10 +238,12 @@ def test_sharded_dia_output_roundtrip(tmp_path):
     D.write_netcdf_sharded(str(out_dir), model.grid, g_sh, 12.5)
     got = D.read_netcdf_sharded(str(out_dir))
     assert len(list(out_dir.glob('shard_*.nc'))) >= 8
+    from blom_tpu.io.dia import _acc_key
     for name, op in g.fields:
-        a = np.asarray(g.acc[name])
-        if op == 'ave':
+        a = np.asarray(g.acc[_acc_key(name, op)])
+        if op in ('ave', 'sq'):
             a = a / max(float(np.asarray(g.nacc)), 1.)
+        name = _acc_key(name, op)
         np.testing.assert_allclose(got[name], a, rtol=0, atol=0)
 
 

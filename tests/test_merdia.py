@@ -107,7 +107,7 @@ def test_dia_group_ops_and_zlev(tmp_path):
         g = dia.accumulate(model.grid, g, model.state, 0)
     assert float(np.asarray(g.nacc)) == 3.
     # max over identical states = the state itself
-    np.testing.assert_allclose(np.asarray(g.acc['temp']),
+    np.testing.assert_allclose(np.asarray(g.acc['tempmx']),
                                np.asarray(model.state.temp[0]))
     # zlv field has depth leading axis
     assert g.acc['templvl'].shape[0] == len(md.DEPTHSLEV)
@@ -124,7 +124,7 @@ def test_dia_group_ops_and_zlev(tmp_path):
             rtol=1e-6)
     g2 = dia.reset(g)
     assert float(np.asarray(g2.nacc)) == 0.
-    assert np.isinf(np.asarray(g2.acc['temp'])).all()
+    assert np.isinf(np.asarray(g2.acc['tempmx'])).all()
 
 
 def test_write_netcdf_includes_merdia(tmp_path):
