@@ -181,9 +181,13 @@ def run_case(model, cfg: RunConfig, rundir: str = '.',
                                         clock.time)
                     groups[gi] = bgcm_mod.reset_bgcm(groups[gi])
                     continue
-                writer = (dia_mod.write_netcdf_compressed
-                          if gc.compflag else dia_mod.write_netcdf)
-                writer(path, model.grid, groups[gi], clock.time)
+                if gc.compflag:
+                    dia_mod.write_netcdf_compressed(
+                        path, model.grid, groups[gi], clock.time)
+                else:
+                    dia_mod.write_netcdf(path, model.grid, groups[gi],
+                                         clock.time,
+                                         ncformat=gc.ncformat)
                 groups[gi] = dia_mod.reset(groups[gi])
         groups = tuple(groups)
         # restart alarm (rstfrq days; restart_write naming,

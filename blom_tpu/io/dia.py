@@ -957,9 +957,14 @@ def diafnm(runid: str, fnametag: str, time_days: float) -> str:
 
 
 def write_netcdf(path: str, grid: Grid, group: DiaGroup, time_days: float,
-                 fill_land=True):
-    """Write the accumulated means to a NetCDF3-classic file (diaout,
-    mod_dia.F90:2311-3300 / mod_nctools ncwrtr)."""
+                 fill_land=True, ncformat: int = 0):
+    """Write the accumulated means to a single NetCDF file (diaout,
+    mod_dia.F90:2311-3300 / mod_nctools ncwrtr): host-gathered, so
+    mesh-sharded runs get one global file without the per-shard
+    reassembler.  ncformat 0 = NetCDF3 classic, 1 = 64-bit-offset
+    (the reference's GLB_NCFORMAT CDF/CDF2 options,
+    mod_nctools.F90:93-218; the netCDF4 option maps to 64-bit offset
+    here)."""
     from scipy.io import netcdf_file
 
     nacc = float(np.asarray(group.nacc))
@@ -969,7 +974,8 @@ def write_netcdf(path: str, grid: Grid, group: DiaGroup, time_days: float,
 
     from .merdia import DEPTHSLEV
 
-    with netcdf_file(path, 'w') as f:
+    with netcdf_file(path, 'w',
+                     version=2 if ncformat else 1) as f:
         f.createDimension('time', None)
         f.createDimension('y', jdm)
         f.createDimension('x', idm)

@@ -207,7 +207,7 @@ def edge4_weights(dx):
     f2 = (f2 - d32 * f3) / safe(d22)
     f1 = 1. - f2 - f3
 
-    kidx = jnp.arange(kk + 1).reshape((kk + 1,) + (1,) * (dx.ndim - 1))
+    kidx = _kidx(kk + 1, 1 + ((dx.ndim - 1)))
     zero = jnp.zeros_like(h1)
     one = zero + 1.
     w1 = jnp.where(kidx == 1, zero, h1)
@@ -425,7 +425,7 @@ def ppm_reconstruct(p, tm, limiting=NON_OSCILLATORY,
         if limiting == NON_OSCILLATORY_POSDEF:
             tel, ter = _limit_posdef(tm, tel, ter)
 
-    kidx = jnp.arange(kk).reshape((kk,) + (1,) * (tm.ndim - 1))
+    kidx = _kidx(kk, 1 + ((tm.ndim - 1)))
     pc_mask = jnp.zeros_like(tm, dtype=bool)
     if pc_upper:
         pc_mask = pc_mask | (kidx == 0)
@@ -1007,7 +1007,7 @@ def edges_slopes_ih6(p, tm, lb_ord: int = 6, rb_ord: int = 4):
         return (c[..., 2] * us[0] + c[..., 3] * us[1]
                 + c[..., 4] * us[2] + c[..., 5] * us[3])
 
-    kidx = jnp.arange(kk + 1).reshape((kk + 1,) + (1,) * (tm.ndim - 1))
+    kidx = _kidx(kk + 1, 1 + ((tm.ndim - 1)))
     at_l = kidx == 1
     at_r = kidx == kk - 1
 
@@ -1078,7 +1078,7 @@ def ppm_ih4_reconstruct(p, tm, limiting=NON_OSCILLATORY,
         if limiting == NON_OSCILLATORY_POSDEF:
             tel, ter = _limit_posdef(tm, tel, ter)
 
-    kidx = jnp.arange(kk).reshape((kk,) + (1,) * (tm.ndim - 1))
+    kidx = _kidx(kk, 1 + ((tm.ndim - 1)))
     pc_mask = jnp.zeros_like(tm, dtype=bool)
     if pc_upper:
         pc_mask = pc_mask | (kidx == 0)
@@ -1209,7 +1209,7 @@ def _limit_pqm_monotonic(tm, dx, uel, uer, usl, usr):
     # boundary cells (:2266-2336): not treated as extrema, but the
     # reconstruction is kept monotonic within the cell
     kk = tm.shape[0]
-    kidx = jnp.arange(kk).reshape((kk,) + (1,) * (tm.ndim - 1))
+    kidx = _kidx(kk, 1 + ((tm.ndim - 1)))
     u2 = tm[1] if kk > 1 else tm[0]
     u3 = tm[2] if kk > 2 else tm[-1]
     pcm_top = (u2 - uer[0]) * (tm[0] - uer[0]) > 0.
@@ -1282,7 +1282,7 @@ def pqm_reconstruct(p, tm, limiting=MONOTONIC,
             uel = jnp.maximum(uel, 0.)
             uer = jnp.maximum(uer, 0.)
 
-    kidx = jnp.arange(kk).reshape((kk,) + (1,) * (tm.ndim - 1))
+    kidx = _kidx(kk, 1 + ((tm.ndim - 1)))
     pc_mask = jnp.zeros_like(tm, dtype=bool)
     if pc_upper:
         pc_mask = pc_mask | (kidx == 0)

@@ -48,7 +48,7 @@ def test_load_diaphy(tmp_path):
     assert ('taux', 'ave') in g0.fields
     assert ('temp', 'ave') in g1.fields       # LYR_TEMP
     assert ('salnlvl', 'ave') in g1.fields    # LVL_SALN
-    assert ('tempga', 'ave') in g0.fields     # MSC scalar
+    assert ('tempga', 'msc') in g0.fields     # MSC derived id
 
 
 def test_run_case_multigroup(tmp_path):
