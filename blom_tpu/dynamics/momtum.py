@@ -180,71 +180,79 @@ def coriolis_terms(grid: Grid, dp_m, utotm, vtotm, uflux0, vflux0,
     return cau, cav
 
 
-def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
-           difwgt, m: int, n: int, delt1, dlt, vcoord_isopyc: bool = False):
-    """Advance baroclinic velocity from old level n using mid level m.
+class MomtumKIn(NamedTuple):
+    """Per-k (kk, jdm, idm) inputs of the fused stencil body
+    (prologue products of momtum; see _uv_body)."""
+    u_m: jax.Array
+    u_n: jax.Array
+    v_m: jax.Array
+    v_n: jax.Array
+    dp_m: jax.Array
+    dpu_m: jax.Array
+    dpv_m: jax.Array
+    p_lo: jax.Array     # p(k)   at p-points
+    p_hi: jax.Array     # p(k+1)
+    pu_lo: jax.Array    # pu(k)
+    pu_hi: jax.Array    # pu(k+1)
+    pv_lo: jax.Array
+    pv_hi: jax.Array
+    stress_u: jax.Array
+    stress_v: jax.Array
+    pgf_u: jax.Array
+    pgf_v: jax.Array
 
-    Returns (state, utotn_out, vtotn_out): the depth-mean velocity
-    tendency fed to the barotropic solver (mod_momtum.F90:1154-1269)."""
-    kk = grid.kk
+
+class Momtum2DIn(NamedTuple):
+    """(jdm, idm) inputs of the fused stencil body."""
+    ubflxs_m: jax.Array
+    ubflxs_n: jax.Array
+    vbflxs_m: jax.Array
+    vbflxs_n: jax.Array
+    pbu_m: jax.Array
+    pbv_m: jax.Array
+    pbu_n: jax.Array
+    pbv_n: jax.Array
+    drag: jax.Array
+    ubrhs: jax.Array
+    vbrhs: jax.Array
+    difwgt: jax.Array
+
+
+def _uv_body(grid: Grid, par: MomtumParams, f: MomtumKIn, d2: Momtum2DIn,
+             tsfac, delt1):
+    """The per-layer stencil core of the momentum solve: total
+    velocities, vorticity, deformation viscosity, momentum fluxes,
+    bottom/wind stress application -> unfilled (u_new, v_new)
+    (mod_momtum.F90:388-1152).  Purely elementwise over k with +-1
+    2-D stencils, so it runs unchanged either as plain XLA or inside
+    the fused Pallas kernel (momtum_pallas.py) on VMEM-resident
+    (kb, jdm, idm) blocks."""
     ip, iu, iv, iq = grid.ip, grid.iu, grid.iv, grid.iq
     im1, ip1, jm1, jp1 = grid.im1, grid.ip1, grid.jm1, grid.jp1
-    # fold-aware j+1 reads per grid kind (tripolar grids; no-ops on
-    # non-arctic grids).  Vector components flip sign across the fold
-    # (halo_uv/halo_vv semantics, mod_xc.F90:107-110,2405-2700).
-    jp1p = lambda a: grid.jp1(a, 'p')           # noqa: E731
+    jp1q = lambda a: grid.jp1(a, 'q')           # noqa: E731
     jp1u = lambda a: grid.jp1(a, 'u')           # noqa: E731
     jp1v = lambda a: grid.jp1(a, 'v')           # noqa: E731
-    jp1q = lambda a: grid.jp1(a, 'q')           # noqa: E731
     jp1uv = lambda a: grid.jp1(a, 'u', True)    # noqa: E731
     jp1vv = lambda a: grid.jp1(a, 'v', True)    # noqa: E731
 
     cutoff = onem
     thkbop = thkbot * onem
-    tsfac = dlt / delt1
-    dt1inv = 1.0 / delt1
-
-    dp_m, dp_n = s.dp[m], s.dp[n]
-    dpu_m, dpu_n = s.dpu[m], s.dpu[n]
-    dpv_m, dpv_n = s.dpv[m], s.dpv[n]
-    u_m, u_n = s.u[m], s.u[n]
-    v_m, v_n = s.v[m], s.v[n]
-
-    # interface pressures from mid-level thicknesses (mod_momtum.F90:244-255)
-    p = cumulative_p(dp_m) * ip
-    pu = cumulative_p(dpu_m)
-    pv = cumulative_p(dpv_m)
-
-    # ---- bottom drag (mod_momtum.F90:257-294): bulk formula over the
-    # bottom boundary layer, at p-points.
-    pbot = p[kk]
-    pbotl = jnp.maximum(p[1:], pbot - thkbop)
-    ptopl = jnp.maximum(p[:-1], pbot - thkbop)
-    ubot_bl = jnp.sum((u_n + ip1(u_n)) * (pbotl - ptopl), axis=0)
-    vbot_bl = jnp.sum((v_n + jp1vv(v_n)) * (pbotl - ptopl), axis=0)
-
-    ubs = s.ubflxs_p[n] / jnp.maximum(epsilpl, s.pbu[n] * grid.scuy)
-    vbs = s.vbflxs_p[n] / jnp.maximum(epsilpl, s.pbv[n] * grid.scvx)
-    ubot = (ubs + ip1(ubs)) * tsfac + ubot_bl / thkbop
-    vbot = (vbs + jp1vv(vbs)) * tsfac + vbot_bl / thkbop
-    ubbl = .5 * jnp.sqrt(ubot * ubot + vbot * vbot)
-    qdrag = par.cb * (ubbl + par.cbar)
-    drag = qdrag * grav / (alpha0 * thkbop) * ip
-    ustarb = jnp.sqrt(qdrag * ubbl) * ip
-
-    # ---- barotropic r.h.s. (mod_momtum.F90:296-313)
-    ubrhs = s.ubcors_p * tsfac * iu
-    vbrhs = s.vbcors_p * tsfac * iv
+    u_m, u_n, v_m, v_n = f.u_m, f.u_n, f.v_m, f.v_n
+    dp_m, dpu_m, dpv_m = f.dp_m, f.dpu_m, f.dpv_m
+    stress_u, stress_v = f.stress_u, f.stress_v
+    pgf_u, pgf_v = f.pgf_u, f.pgf_v
+    drag, ubrhs, vbrhs = d2.drag, d2.ubrhs, d2.vbrhs
+    difwgt = d2.difwgt
 
     # ---- total velocities at mid and old levels (mod_momtum.F90:388-432)
-    pbu_m_safe = jnp.maximum(s.pbu[m] * grid.scuy, epsilpl)
-    pbv_m_safe = jnp.maximum(s.pbv[m] * grid.scvx, epsilpl)
-    pbu_n_safe = jnp.maximum(s.pbu[n] * grid.scuy, epsilpl)
-    pbv_n_safe = jnp.maximum(s.pbv[n] * grid.scvx, epsilpl)
-    utotm = (u_m + s.ubflxs_p[m] * tsfac / pbu_m_safe) * iu
-    vtotm = (v_m + s.vbflxs_p[m] * tsfac / pbv_m_safe) * iv
-    utotn = (u_n + s.ubflxs_p[n] * tsfac / pbu_n_safe) * iu
-    vtotn = (v_n + s.vbflxs_p[n] * tsfac / pbv_n_safe) * iv
+    pbu_m_safe = jnp.maximum(d2.pbu_m * grid.scuy, epsilpl)
+    pbv_m_safe = jnp.maximum(d2.pbv_m * grid.scvx, epsilpl)
+    pbu_n_safe = jnp.maximum(d2.pbu_n * grid.scuy, epsilpl)
+    pbv_n_safe = jnp.maximum(d2.pbv_n * grid.scvx, epsilpl)
+    utotm = (u_m + d2.ubflxs_m * tsfac / pbu_m_safe) * iu
+    vtotm = (v_m + d2.vbflxs_m * tsfac / pbv_m_safe) * iv
+    utotn = (u_n + d2.ubflxs_n * tsfac / pbu_n_safe) * iu
+    vtotn = (v_n + d2.vbflxs_n * tsfac / pbv_n_safe) * iv
     uflux0 = utotm * jnp.maximum(dpu_m, cutoff) * iu
     vflux0 = vtotm * jnp.maximum(dpv_m, cutoff) * iv
 
@@ -252,20 +260,20 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
     dpmx = _dpmx(grid, dp_m)
 
     # ---- sidewall-aware auxiliary velocities (mod_momtum.F90:434-470)
-    dpu_col = pu[1:]  # pu(k+1)
-    wgtja = jnp.clip((dpu_col - jm1(s.pbu[m]))
-                     / jnp.maximum(dpu_col - pu[:-1], epsilp), 0., 1.)
-    wgtjb = jnp.clip((dpu_col - jp1u(s.pbu[m]))
-                     / jnp.maximum(dpu_col - pu[:-1], epsilp), 0., 1.)
+    dpu_col = f.pu_hi  # pu(k+1)
+    wgtja = jnp.clip((dpu_col - jm1(d2.pbu_m))
+                     / jnp.maximum(dpu_col - f.pu_lo, epsilp), 0., 1.)
+    wgtjb = jnp.clip((dpu_col - jp1u(d2.pbu_m))
+                     / jnp.maximum(dpu_col - f.pu_lo, epsilp), 0., 1.)
     uja = (1. - wgtja) * jm1(utotn) + wgtja * slip * utotn
     ujb = (1. - wgtjb) * jp1uv(utotn) + wgtjb * slip * utotn
     dl2u = (utotn - .25 * (ip1(utotn) + im1(utotn) + uja + ujb)) * iu
 
-    dpv_col = pv[1:]
-    wgtia = jnp.clip((dpv_col - im1(s.pbv[m]))
-                     / jnp.maximum(dpv_col - pv[:-1], epsilp), 0., 1.)
-    wgtib = jnp.clip((dpv_col - ip1(s.pbv[m]))
-                     / jnp.maximum(dpv_col - pv[:-1], epsilp), 0., 1.)
+    dpv_col = f.pv_hi
+    wgtia = jnp.clip((dpv_col - im1(d2.pbv_m))
+                     / jnp.maximum(dpv_col - f.pv_lo, epsilp), 0., 1.)
+    wgtib = jnp.clip((dpv_col - ip1(d2.pbv_m))
+                     / jnp.maximum(dpv_col - f.pv_lo, epsilp), 0., 1.)
     via = (1. - wgtia) * im1(vtotn) + wgtia * slip * vtotn
     vib = (1. - wgtib) * ip1(vtotn) + wgtib * slip * vtotn
     dl2v = (vtotn - .25 * (jp1vv(vtotn) + jm1(vtotn) + via + vib)) * iv
@@ -347,31 +355,15 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
                             (vsc4u + vsc4b) * jp1(grid.scqx))
               * _hfharm(dpjb, dpxy_u) * (dl2u - dl2ujb)) * iu
 
-    # wind stress (mod_momtum.F90:917-946)
-    if vcoord_isopyc:
-        stress_u = jnp.zeros_like(dpu_m)
-        stress_u = stress_u.at[0].set(
-            -2. * forcing.taux * grav * grid.scux
-            / jnp.maximum(p[1] + im1(p[1]), epsilp))
-    else:
-        stress_u = -(forcing.mu_nonloc[:-1] - forcing.mu_nonloc[1:]) \
-            * forcing.taux * grav * grid.scux / jnp.maximum(onemm, dpu_m)
-    stress_u = stress_u * iu
-
     # bottom boundary layer stress + update (mod_momtum.F90:948-984)
-    pbu_m = s.pbu[m]
-    ptopl_u = .5 * (jnp.minimum(pbu_m, p[:-1]) + jnp.minimum(pbu_m, im1(p[:-1])))
-    pbotl_u = .5 * (jnp.minimum(pbu_m, p[1:]) + jnp.minimum(pbu_m, im1(p[1:])))
+    pbu_m = d2.pbu_m
+    ptopl_u = .5 * (jnp.minimum(pbu_m, f.p_lo) + jnp.minimum(pbu_m, im1(f.p_lo)))
+    pbotl_u = .5 * (jnp.minimum(pbu_m, f.p_hi) + jnp.minimum(pbu_m, im1(f.p_hi)))
     qbot = .5 * (drag + im1(drag)) \
         * (jnp.maximum(pbu_m - thkbop, pbotl_u)
            - jnp.maximum(pbu_m - thkbop, jnp.minimum(ptopl_u, pbotl_u - onemm))) \
         / jnp.maximum(dpu_m, onemm)
     botstr_u = -utotn * qbot / (1. + delt1 * qbot)
-
-    pgf_u = (1. - 2. * wpgf) * s.pgfx[m] + wpgf * (s.pgfx_o + s.pgfx[n])
-
-    # time smoothing of u part 1 (mod_momtum.F90:974-977)
-    u_m_s = (u_m * (wuv1 * dpu_m + onemm) + u_n * wuv2 * s.dpuold) * iu
 
     u_new = (u_n + delt1 * (
         -grid.scuxi * (-pgf_u + stress_u + (ke - im1(ke)))
@@ -420,34 +412,136 @@ def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
                             (vsc4v + vsc4b) * ip1(grid.scqy))
               * _hfharm(dpib, dpxy_v) * (dl2v - dl2vib)) * iv
 
-    if vcoord_isopyc:
-        stress_v = jnp.zeros_like(dpv_m)
-        stress_v = stress_v.at[0].set(
-            -2. * forcing.tauy * grav * grid.scvy
-            / jnp.maximum(p[1] + jm1(p[1]), epsilp))
-    else:
-        stress_v = -(forcing.mv_nonloc[:-1] - forcing.mv_nonloc[1:]) \
-            * forcing.tauy * grav * grid.scvy / jnp.maximum(onemm, dpv_m)
-    stress_v = stress_v * iv
-
-    pbv_m = s.pbv[m]
-    ptopl_v = .5 * (jnp.minimum(pbv_m, p[:-1]) + jnp.minimum(pbv_m, jm1(p[:-1])))
-    pbotl_v = .5 * (jnp.minimum(pbv_m, p[1:]) + jnp.minimum(pbv_m, jm1(p[1:])))
+    pbv_m = d2.pbv_m
+    ptopl_v = .5 * (jnp.minimum(pbv_m, f.p_lo) + jnp.minimum(pbv_m, jm1(f.p_lo)))
+    pbotl_v = .5 * (jnp.minimum(pbv_m, f.p_hi) + jnp.minimum(pbv_m, jm1(f.p_hi)))
     qbot = .5 * (drag + jm1(drag)) \
         * (jnp.maximum(pbv_m - thkbop, pbotl_v)
            - jnp.maximum(pbv_m - thkbop, jnp.minimum(ptopl_v, pbotl_v - onemm))) \
         / jnp.maximum(dpv_m, onemm)
     botstr_v = -vtotn * qbot / (1. + delt1 * qbot)
 
-    pgf_v = (1. - 2. * wpgf) * s.pgfy[m] + wpgf * (s.pgfy_o + s.pgfy[n])
-
-    v_m_s = (v_m * (wuv1 * dpv_m + onemm) + v_n * wuv2 * s.dpvold) * iv
-
     v_new = (v_n + delt1 * (
         -grid.scvyi * (-pgf_v + stress_v + (ke - jm1(ke)))
         + cav - vbrhs + botstr_v
         - (vflux1 - jm1(vflux1) + vflux3 - vflux2)
         / (grid.scv2 * jnp.maximum(dpv_m, onemm)))) * iv
+
+    return u_new, v_new
+
+
+def _pallas_ok(grid: Grid, u) -> bool:
+    """Use the fused Pallas momentum kernel?  TPU + f32 + non-arctic
+    (on tripolar grids the single-device GSPMD path needs fold-aware
+    j+1 reads; under the shard_map step the per-shard grid is already
+    fold-free, so sharded tripolar runs DO take the kernel);
+    BLOM_TPU_PALLAS=0 disables (escape hatch)."""
+    import os
+    if os.environ.get('BLOM_TPU_PALLAS', '1') == '0':
+        return False
+    if grid.arctic or u.dtype != jnp.float32 or u.ndim != 3:
+        return False
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
+
+def momtum(grid: Grid, s: State, forcing: Forcing, par: MomtumParams,
+           difwgt, m: int, n: int, delt1, dlt, vcoord_isopyc: bool = False):
+    """Advance baroclinic velocity from old level n using mid level m.
+
+    Returns (state, utotn_out, vtotn_out): the depth-mean velocity
+    tendency fed to the barotropic solver (mod_momtum.F90:1154-1269).
+
+    Structure: an XLA prologue (interface-pressure cumsums, bottom-drag
+    column integrals, wind-stress and PGF time blends), then the fused
+    per-layer stencil body (_uv_body; on TPU/f32 a Pallas kernel), then
+    the sequential massless-fill scan + time smoothing epilogue."""
+    kk = grid.kk
+    ip, iu, iv, iq = grid.ip, grid.iu, grid.iv, grid.iq
+    im1, ip1, jm1, jp1 = grid.im1, grid.ip1, grid.jm1, grid.jp1
+    jp1vv = lambda a: grid.jp1(a, 'v', True)    # noqa: E731
+
+    thkbop = thkbot * onem
+    tsfac = dlt / delt1
+    dt1inv = 1.0 / delt1
+
+    dp_m, dp_n = s.dp[m], s.dp[n]
+    dpu_m, dpu_n = s.dpu[m], s.dpu[n]
+    dpv_m, dpv_n = s.dpv[m], s.dpv[n]
+    u_m, u_n = s.u[m], s.u[n]
+    v_m, v_n = s.v[m], s.v[n]
+
+    # interface pressures from mid-level thicknesses (mod_momtum.F90:244-255)
+    p = cumulative_p(dp_m) * ip
+    pu = cumulative_p(dpu_m)
+    pv = cumulative_p(dpv_m)
+
+    # ---- bottom drag (mod_momtum.F90:257-294): bulk formula over the
+    # bottom boundary layer, at p-points.
+    pbot = p[kk]
+    pbotl = jnp.maximum(p[1:], pbot - thkbop)
+    ptopl = jnp.maximum(p[:-1], pbot - thkbop)
+    ubot_bl = jnp.sum((u_n + ip1(u_n)) * (pbotl - ptopl), axis=0)
+    vbot_bl = jnp.sum((v_n + jp1vv(v_n)) * (pbotl - ptopl), axis=0)
+
+    ubs = s.ubflxs_p[n] / jnp.maximum(epsilpl, s.pbu[n] * grid.scuy)
+    vbs = s.vbflxs_p[n] / jnp.maximum(epsilpl, s.pbv[n] * grid.scvx)
+    ubot = (ubs + ip1(ubs)) * tsfac + ubot_bl / thkbop
+    vbot = (vbs + jp1vv(vbs)) * tsfac + vbot_bl / thkbop
+    ubbl = .5 * jnp.sqrt(ubot * ubot + vbot * vbot)
+    qdrag = par.cb * (ubbl + par.cbar)
+    drag = qdrag * grav / (alpha0 * thkbop) * ip
+    ustarb = jnp.sqrt(qdrag * ubbl) * ip
+
+    # ---- barotropic r.h.s. (mod_momtum.F90:296-313)
+    ubrhs = s.ubcors_p * tsfac * iu
+    vbrhs = s.vbcors_p * tsfac * iv
+
+    # ---- wind stress (mod_momtum.F90:917-946)
+    if vcoord_isopyc:
+        stress_u = jnp.zeros_like(dpu_m)
+        stress_u = stress_u.at[0].set(
+            -2. * forcing.taux * grav * grid.scux
+            / jnp.maximum(p[1] + im1(p[1]), epsilp))
+        stress_v = jnp.zeros_like(dpv_m)
+        stress_v = stress_v.at[0].set(
+            -2. * forcing.tauy * grav * grid.scvy
+            / jnp.maximum(p[1] + jm1(p[1]), epsilp))
+    else:
+        stress_u = -(forcing.mu_nonloc[:-1] - forcing.mu_nonloc[1:]) \
+            * forcing.taux * grav * grid.scux / jnp.maximum(onemm, dpu_m)
+        stress_v = -(forcing.mv_nonloc[:-1] - forcing.mv_nonloc[1:]) \
+            * forcing.tauy * grav * grid.scvy / jnp.maximum(onemm, dpv_m)
+    stress_u = stress_u * iu
+    stress_v = stress_v * iv
+
+    # ---- PGF time blend (mod_momtum.F90:974-977)
+    pgf_u = (1. - 2. * wpgf) * s.pgfx[m] + wpgf * (s.pgfx_o + s.pgfx[n])
+    pgf_v = (1. - 2. * wpgf) * s.pgfy[m] + wpgf * (s.pgfy_o + s.pgfy[n])
+
+    f = MomtumKIn(u_m=u_m, u_n=u_n, v_m=v_m, v_n=v_n, dp_m=dp_m,
+                  dpu_m=dpu_m, dpv_m=dpv_m,
+                  p_lo=p[:-1], p_hi=p[1:], pu_lo=pu[:-1], pu_hi=pu[1:],
+                  pv_lo=pv[:-1], pv_hi=pv[1:],
+                  stress_u=stress_u, stress_v=stress_v,
+                  pgf_u=pgf_u, pgf_v=pgf_v)
+    d2 = Momtum2DIn(ubflxs_m=s.ubflxs_p[m], ubflxs_n=s.ubflxs_p[n],
+                    vbflxs_m=s.vbflxs_p[m], vbflxs_n=s.vbflxs_p[n],
+                    pbu_m=s.pbu[m], pbv_m=s.pbv[m],
+                    pbu_n=s.pbu[n], pbv_n=s.pbv[n],
+                    drag=drag, ubrhs=ubrhs, vbrhs=vbrhs, difwgt=difwgt)
+
+    if _pallas_ok(grid, u_m):
+        from .momtum_pallas import momtum_uv_pallas
+        u_new, v_new = momtum_uv_pallas(grid, par, f, d2, tsfac, delt1)
+    else:
+        u_new, v_new = _uv_body(grid, par, f, d2, tsfac, delt1)
+
+    # ---- time smoothing part 1 (mod_momtum.F90:974-977)
+    u_m_s = (u_m * (wuv1 * dpu_m + onemm) + u_n * wuv2 * s.dpuold) * iu
+    v_m_s = (v_m * (wuv1 * dpv_m + onemm) + v_n * wuv2 * s.dpvold) * iv
 
     # ---- massless-point fill + velocity clamp (mod_momtum.F90:1154-1210):
     # sequential top-down blend with the layer above.
