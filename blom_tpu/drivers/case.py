@@ -184,7 +184,13 @@ def run_case(model, cfg: RunConfig, rundir: str = '.',
                 if gc.compflag:
                     dia_mod.write_netcdf_compressed(
                         path, model.grid, groups[gi], clock.time)
+                elif getattr(gc, 'sharded_output', False):
+                    dia_mod.write_netcdf_sharded(
+                        path + '.d', model.grid, groups[gi], clock.time)
                 else:
+                    # host-gathered single global file; np.asarray on
+                    # sharded accumulators gathers across the mesh, so
+                    # sharded runs need no offline reassembler
                     dia_mod.write_netcdf(path, model.grid, groups[gi],
                                          clock.time,
                                          ncformat=gc.ncformat)

@@ -831,6 +831,11 @@ class DiaGroupCfg:
     filefreq: int = 30     # days of averages per file
     compflag: int = 0      # 1 = wet-point compressed output
     ncformat: int = 0      # 0 = classic NetCDF3
+    sharded_output: bool = False   # True = per-device shard files
+    #                    (write_netcdf_sharded, the PnetCDF analogue);
+    #                    False = one host-gathered global file even for
+    #                    sharded runs (mod_nctools.F90:93-218 single-
+    #                    file collective path)
     fields: tuple = ()     # ('name' | (name, op), ...)
 
     def steps_per_output(self, nstep_in_day: int) -> int:

@@ -252,3 +252,36 @@ def dataclasses_replace_acc(g, mesh):
     from blom_tpu.parallel import mesh as pmesh
     acc = {k: pmesh.shard_pytree(v, mesh) for k, v in g.acc.items()}
     return _dc.replace(g, acc=acc)
+
+
+def test_sharded_accumulators_single_file_output(tmp_path):
+    """write_netcdf on mesh-sharded accumulators host-gathers and
+    produces ONE global file byte-identical in content to the
+    unsharded write — sharded runs need no offline reassembler
+    (single-file collective path, mod_nctools.F90:93-218)."""
+    import jax
+    import numpy as np
+    from scipy.io import netcdf_file
+    from blom_tpu.drivers import standalone
+    from blom_tpu.io import dia as D
+    from blom_tpu.parallel import mesh as pmesh
+
+    model = standalone.build_fuk95(itdm=32, jtdm=16, kdm=6)
+    g = D.init_group(model.grid, model.state,
+                     [('sst', 'ave'), ('temp', 'ave'),
+                      ('mldl82', 'max')],
+                     dfl=model.dfl, swabs=model.swabs)
+    g = D.accumulate(model.grid, g, model.state, 1, model.forcing,
+                     model.dfl, swabs=model.swabs)
+
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    g_sh = dataclasses_replace_acc(g, mesh)
+    p_ref = tmp_path / 'ref.nc'
+    p_sh = tmp_path / 'sharded.nc'
+    D.write_netcdf(str(p_ref), model.grid, g, 12.5)
+    D.write_netcdf(str(p_sh), model.grid, g_sh, 12.5)
+    with netcdf_file(str(p_ref), 'r', mmap=False) as fr, \
+            netcdf_file(str(p_sh), 'r', mmap=False) as fs:
+        assert set(fr.variables) == set(fs.variables)
+        for name, vr in fr.variables.items():
+            np.testing.assert_array_equal(vr[:], fs.variables[name][:])
