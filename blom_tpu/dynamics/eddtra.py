@@ -30,7 +30,7 @@ from .diffusion_fields import DiffusionFields
 
 ffac = .0625          # max fraction of cell mass depleted (:1011)
 fface = .99 * ffac
-N_SWEEPS = 4
+N_SWEEPS_MAX = 64
 
 
 def _limit_mfl(mfl, avail_w, avail_c, area_w, area_c):
@@ -72,18 +72,31 @@ def _limit_mfl(mfl, avail_w, avail_c, area_w, area_c):
         mk_new = jnp.where(over_w, mk_w, jnp.where(over_c, mk_cc, mk))
         mk1_new = jnp.where(over_w, mk1_w, jnp.where(over_c, mk1_cc, mk1))
         mfl = mfl.at[k].set(mk_new).at[k + 1].set(mk1_new)
-        return mfl
+        return mfl, jnp.any(over_w | over_c)
 
-    def sweep(it, mfl):
-        down = it % 2 == 0
+    # converge-until-done alternating sweeps, FIRST pass descending
+    # (the reference flips kdir before the first pass, :1315-1341, so
+    # pass 1 runs k = kmax..1); bounded at 64 sweeps (the reference
+    # aborts at 1000 — production states converge in a handful).
+    def sweep_cond(carry):
+        _, it, ch = carry
+        return ch & (it < N_SWEEPS_MAX)
 
-        def body(k, mfl):
-            kk_idx = jnp.where(down, k, kk - 1 - k)
-            return limit_layer(mfl, kk_idx)
+    def sweep(carry):
+        mfl, it, _ = carry
+        desc = it % 2 == 0
 
-        return lax.fori_loop(0, kk, body, mfl)
+        def body(k, st):
+            mfl, ch = st
+            kf = jnp.where(desc, kk - 1 - k, k)
+            mfl, c = limit_layer(mfl, kf)
+            return mfl, ch | c
 
-    mfl = lax.fori_loop(0, N_SWEEPS, sweep, mfl)
+        mfl, ch = lax.fori_loop(0, kk, body, (mfl, jnp.asarray(False)))
+        return mfl, it + 1, ch
+
+    mfl, _, _ = lax.while_loop(
+        sweep_cond, sweep, (mfl, 0, jnp.asarray(True)))
     # pin the boundary interfaces
     mfl = mfl.at[0].set(0.0)
     return mfl
@@ -100,6 +113,8 @@ def eddtra(grid: Grid, s: State, cf: CmnFields, dfl: DiffusionFields,
     p = cumulative_p(s.dp[n]) * ip
     mld_p = cf.mld * onem    # [Pa]
 
+    kidx1 = jnp.arange(1, kk + 2).reshape((kk + 1,) + (1,) * (p.ndim - 1))
+
     def direction(mask, nbr, slp, dpuv, pbuv, scuv, area_nbr):
         # interface streamfunction below the mixed layer
         kappa = .5 * (nbr(dfl.difint) + dfl.difint)   # (kk, H) layers
@@ -108,16 +123,26 @@ def eddtra(grid: Grid, s: State, cf: CmnFields, dfl: DiffusionFields,
         et2mf = -grav * rho0 * delt1 * scuv
         mfl_gm = -kappa_i * slp * et2mf * mask        # (kk+1, H)
 
+        # kmax: deepest layer with mass at either adjacent scalar point
+        # (mod_eddtra.F90:1230-1236); interfaces beyond kmax carry no
+        # flux and are excluded from the limiter, matching the
+        # reference's k = 1..kmax loop bounds.
+        pair_wet = (nbr(s.dp[n]) > epsilp) | (s.dp[n] > epsilp)
+        kmax = jnp.max(jnp.where(pair_wet, kidx1[:-1], 1), axis=0)  # (H)
+        act = kidx1 <= kmax[None]                     # interfaces 1..kmax
+        mfl_gm = mfl_gm * act
+
         # mixed-layer linear ramp (mod_eddtra.F90:1266-1275)
         puv = cumulative_p(dpuv)
         pml = jnp.minimum(puv[0]
                           + .5 * (nbr(mld_p) + mld_p), puv[kk])
-        below = puv > pml
+        below = (puv > pml) & act
         # value at the ML base: first interface below pml
         first_below = jnp.cumsum(below.astype(jnp.int32), axis=0) == 1
         mfl_base = jnp.sum(jnp.where(first_below, mfl_gm, 0.), axis=0)
-        frac = puv / jnp.maximum(pml - puv[0], epsilp)
+        frac = (puv - puv[0]) / jnp.maximum(pml - puv[0], epsilp)
         mfl = jnp.where(below, mfl_gm, mfl_base[None] * jnp.clip(frac, 0., 1.))
+        mfl = jnp.where(act, mfl, 0.)
         mfl = mfl.at[0].set(0.).at[kk].set(0.)
 
         # depletable thicknesses (mod_eddtra.F90:1300-1308)
