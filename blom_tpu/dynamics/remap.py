@@ -76,23 +76,29 @@ def _neighbors(grid: Grid, a):
     as_ = jnp.where(s_ok, grid.jm1(a), a)
     an = jnp.where(n_ok, grid.jp1(a), a)
 
-    def diag(ishift, jshift, iok, jok):
-        # value at (i+di, j+dj) with each axis shift applied only when
-        # the face neighbour is wet, falling back per the reference's
-        # isw = i*(1-ip) + iw*ip construction with ip at the diagonal
+    def diag(ishift, jshift, iok, jok, a_iface, a_jface):
+        # The reference builds isw = i*(1-ip(iw,js)) + iw*ip(iw,js)
+        # with iw/js ALREADY face-fallen-back (:370-383): when only one
+        # face neighbour exists the "diagonal" collapses to that (wet)
+        # face value; when both exist but the true diagonal is dry,
+        # BOTH coordinates fall back to the centre.
         cand = grid.shift(a, ishift, jshift)
         wet = grid.shift(grid.ip, ishift, jshift) > 0.
-        use = iok & jok & wet
-        # partial fallbacks: if the diagonal target (iw, js) is land,
-        # use the centre (the reference collapses isw/jsw to (i, j))
-        return jnp.where(use, cand, a)
+        both = iok & jok
+        return jnp.where(both, jnp.where(wet, cand, a),
+                         jnp.where(iok, a_iface,
+                                   jnp.where(jok, a_jface, a)))
 
-    asw = diag(-1, -1, w_ok, s_ok)
-    ase = diag(1, -1, e_ok, s_ok)
-    anw = diag(-1, 1, w_ok, n_ok)
-    ane = diag(1, 1, e_ok, n_ok)
-    dxi = 1. / jnp.maximum(1., w_ok + e_ok)
-    dyi = 1. / jnp.maximum(1., s_ok + n_ok)
+    asw = diag(-1, -1, w_ok, s_ok, aw, as_)
+    ase = diag(1, -1, e_ok, s_ok, ae, as_)
+    anw = diag(-1, 1, w_ok, n_ok, aw, an)
+    ane = diag(1, 1, e_ok, n_ok, ae, an)
+    # bool + bool is logical-or in jnp; cast so two wet neighbors give
+    # the centered-difference 1/2 (the reference's 1/max(1, ie-iw))
+    dxi = 1. / jnp.maximum(1., w_ok.astype(a.dtype)
+                           + e_ok.astype(a.dtype))
+    dyi = 1. / jnp.maximum(1., s_ok.astype(a.dtype)
+                           + n_ok.astype(a.dtype))
     return (aw, ae, as_, an, asw, ase, anw, ane), (dxi, dyi)
 
 
