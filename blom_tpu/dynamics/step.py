@@ -342,10 +342,12 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
     (step_shmap.make_sharded_step) plugs in here.  In-step budget
     hooks (cnsvdi) work with an override that advertises
     `supports_budget` (the sharded step does); in-step BGC diagnostics
-    (with_bgcm) remain unsupported with an override."""
-    if step_fn is not None and with_bgcm:
+    (with_bgcm) work with an override that advertises
+    `supports_bgcm` (the sharded step does)."""
+    if step_fn is not None and with_bgcm \
+            and not getattr(step_fn, 'supports_bgcm', False):
         raise NotImplementedError(
-            'in-step BGC diagnostics with a step_fn override')
+            'in-step BGC diagnostics need a bgcm-capable step_fn')
     if step_fn is not None and cnsvdi \
             and not getattr(step_fn, 'supports_budget', False):
         raise NotImplementedError(
@@ -355,10 +357,12 @@ def make_two_step(grid: Grid, e: eos.EosParams, par: StepParams,
         bout = [] if cnsvdi else None
         bgcd = [] if with_bgcm else None
         if step_fn is not None:
+            kw = {}
             if cnsvdi:
-                s, dfl_c = step_fn(s, dfl_c, m, n, d, budget_out=bout)
-            else:
-                s, dfl_c = step_fn(s, dfl_c, m, n, d)
+                kw['budget_out'] = bout
+            if with_bgcm:
+                kw['bgc_diag_out'] = bgcd
+            s, dfl_c = step_fn(s, dfl_c, m, n, d, **kw)
         else:
             s, dfl_c = blom_step(grid, e, par, coeffs_i, coeffs_j, s,
                                  forcing, dfl_c, m, n, d, swabs,

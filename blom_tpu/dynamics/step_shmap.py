@@ -173,7 +173,7 @@ def blom_step_blocks(ctx: _Ctx, grid_b: Grid, e, par: StepParams,
                      coeffs_i, coeffs_j, s, forcing, dfl,
                      m: int, n: int, delt1, swabs=None,
                      coeff_extra=None, bgc_forcing=None,
-                     budget_out=None):
+                     budget_out=None, bgc_diag_out=None):
     """Block-local baroclinic step (inside shard_map); mirrors
     dynamics/step.py blom_step phase for phase.
 
@@ -181,7 +181,12 @@ def blom_step_blocks(ctx: _Ctx, grid_b: Grid, e, par: StepParams,
     budget weights at the reference's cnsvdi checkpoints
     (budget_col_sums; the caller finishes them with repsum_2d on the
     assembled global fields — bitwise equal to the unsharded
-    budget_sums)."""
+    budget_sums).
+
+    `bgc_diag_out`: optional list collecting the per-step hamocc
+    diagnostics dict (accfields inputs, mo_hamocc_step.F90:101) —
+    column-local fields, so block-local values assemble to the global
+    diagnostics unchanged."""
     dlt = par.dlt
     gN = _block_grid(grid_b)
 
@@ -335,12 +340,13 @@ def blom_step_blocks(ctx: _Ctx, grid_b: Grid, e, par: StepParams,
         from ..tracers.idlage import idlage_step
         s = idlage_step(s, par.itriag, n, delt1, par.nday_in_year)
     if par.itrbgc >= 0 and bgc_forcing is not None:
-        # iHAMOCC source/sink update: column-local, margin 0.  Per-step
-        # BGC diagnostics (bgcmean accumulation) are not collected on
-        # the sharded path.
+        # iHAMOCC source/sink update: column-local, margin 0
         from ..bgc.step import hamocc_step
-        s, _ = hamocc_step(gN, e, par.bgc, s, bgc_forcing, par.itrbgc,
-                           n, m, delt1, ti=par.bgc_ti, cp=par.bgc_cp)
+        s, bgcd = hamocc_step(gN, e, par.bgc, s, bgc_forcing,
+                              par.itrbgc, n, m, delt1,
+                              ti=par.bgc_ti, cp=par.bgc_cp)
+        if bgc_diag_out is not None:
+            bgc_diag_out.append(bgcd)
 
     ckpt(n)   # budget_sums(5,n) after updtrc (:215)
 
@@ -448,24 +454,30 @@ def make_sharded_step(mesh, grid: Grid, e, par: StepParams,
     args0 = (grid, coeffs_i, coeffs_j, forcing, swabs, bgc_forcing)
     fns = {}
 
-    def build(m, n, want_budget):
+    def build(m, n, want_budget, want_bgcd):
         def local(grid_b, ci_b, cj_b, f_b, sw_b, bgcf_b, s_b, dfl_b,
                   delt1, cex_b=None):
             bout = [] if want_budget else None
+            bgcd = [] if want_bgcd else None
             s_b, dfl_b = blom_step_blocks(
                 ctx, grid_b, e, par, ci_b, cj_b, s_b, f_b, dfl_b, m, n,
                 delt1, sw_b, coeff_extra=cex_b, bgc_forcing=bgcf_b,
-                budget_out=bout)
+                budget_out=bout, bgc_diag_out=bgcd)
+            out = (s_b, dfl_b)
             if want_budget:
-                return s_b, dfl_b, tuple(bout)
-            return s_b, dfl_b
+                out = out + (tuple(bout),)
+            if want_bgcd:
+                out = out + (bgcd[0] if bgcd else {},)
+            return out
         return local
 
-    def step(s, dfl, m: int, n: int, delt1, budget_out=None):
+    def step(s, dfl, m: int, n: int, delt1, budget_out=None,
+             bgc_diag_out=None):
         want_budget = budget_out is not None
-        key = (m, n, want_budget)
+        want_bgcd = bgc_diag_out is not None
+        key = (m, n, want_budget, want_bgcd)
         if key not in fns:
-            local = build(m, n, want_budget)
+            local = build(m, n, want_budget, want_bgcd)
             in_specs = spec_tree(args0 + (s, dfl)) + (P(),)
             args_extra = ()
             if coeff_extra is not None:
@@ -483,6 +495,22 @@ def make_sharded_step(mesh, grid: Grid, e, par: StepParams,
                     tuple({k: P('y', 'x') for k in
                            ('mass', 'heat', 'salt')}
                           for _ in range(ncp)),)
+            if want_bgcd:
+                # the hamocc diagnostics dict structure depends on the
+                # BGC extension config; recover it with an abstract
+                # eval of the (column-local, collective-free) BGC
+                # update alone (no compile)
+                from ..bgc.step import hamocc_step
+
+                def _diags(s_):
+                    return hamocc_step(
+                        grid, e, par.bgc, s_, bgc_forcing, par.itrbgc,
+                        n, m, jnp.asarray(delt1), ti=par.bgc_ti,
+                        cp=par.bgc_cp)[1]
+                diag_aval = jax.eval_shape(_diags, s)
+                out_specs = out_specs + (jax.tree.map(
+                    lambda a: P(*([None] * (a.ndim - 2) + ['y', 'x']))
+                    if a.ndim >= 2 else P(), diag_aval),)
             # check_vma=False: several phase scans initialize carries
             # from literal zeros, which the varying-manual-axes type
             # checker rejects; correctness is enforced by the bitwise
@@ -491,14 +519,18 @@ def make_sharded_step(mesh, grid: Grid, e, par: StepParams,
                                  out_specs=out_specs, check_vma=False)
         args_extra = (coeff_extra,) if coeff_extra is not None else ()
         out = fns[key](*args0, s, dfl, jnp.asarray(delt1), *args_extra)
+        if want_bgcd:
+            bgc_diag_out.append(out[-1])
+            out = out[:-1]
         if want_budget:
             from .budget import budget_sums_from_cols
             s, dfl, cols = out
             budget_out.extend(budget_sums_from_cols(c) for c in cols)
             return s, dfl
-        return out
+        return out[0], out[1]
 
     step.supports_budget = True
+    step.supports_bgcm = True
     return step
 
 

@@ -125,6 +125,44 @@ def test_bgc_shmap_invariant_across_meshes():
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason='needs 4 devices')
 @pytest.mark.slow
+def test_bgc_diags_shmap_match_unsharded():
+    """In-step BGC diagnostics (bgcmean accumulation inputs) collected
+    through the sharded step match the unsharded blom_step's, so a
+    sharded production run keeps its mo_bgcmean output."""
+    import dataclasses
+    from blom_tpu.dynamics.step import blom_step
+
+    model = standalone.build_fuk95(itdm=32, jtdm=16, kdm=6,
+                                   use_bgc=True)
+    mesh = pmesh.make_mesh(jax.devices()[:4], shape=(2, 2))
+    step = make_sharded_step(mesh, model.grid, model.e, model.par,
+                             model.coeffs_i, model.coeffs_j,
+                             model.forcing, model.swabs,
+                             bgc_forcing=model.bgc_forcing)
+    assert getattr(step, 'supports_bgcm', False)
+    s = pmesh.shard_pytree(model.state, mesh)
+    dfl = pmesh.shard_pytree(model.dfl, mesh)
+    d = jnp.asarray(model.par.baclin, s.pb.dtype)
+    bgcd_sh = []
+    s, dfl = step(s, dfl, 0, 1, d, bgc_diag_out=bgcd_sh)
+
+    bgcd_ref = []
+    blom_step(model.grid, model.e, model.par, model.coeffs_i,
+              model.coeffs_j, model.state, model.forcing, model.dfl,
+              0, 1, d, model.swabs, model.bgc_forcing,
+              bgc_diag_out=bgcd_ref)
+    assert len(bgcd_sh) == 1 and len(bgcd_ref) == 1
+    assert set(bgcd_sh[0]) == set(bgcd_ref[0])
+    assert len(bgcd_ref[0]) > 0
+    for k in bgcd_ref[0]:
+        a = np.asarray(bgcd_sh[0][k])
+        b = np.asarray(bgcd_ref[0][k])
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-18,
+                                   err_msg=k)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason='needs 4 devices')
+@pytest.mark.slow
 def test_budget_shmap_bitwise_across_meshes():
     """cnsvdi budget sums are mesh-factorization invariant AND match
     the unsharded budget_sums arithmetic on the same state."""
